@@ -1,0 +1,56 @@
+"""Adaptive-support-weight pipeline (`ASW/ASWeight.cpp:7-98`)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from stereo_match_traditional_tpu.config import ASWConfig
+from stereo_match_traditional_tpu.models.base import StereoResult
+from stereo_match_traditional_tpu.ops import post, volume, wta
+
+
+def _minmax_u8(x):
+    """Device-side `cv::normalize(0,255,NORM_MINMAX)` + u8 convert
+    (`ASWeight.cpp:69-72`), kept float for downstream ops."""
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    scale = jnp.where(hi > lo, 255.0 / (hi - lo), 0.0)
+    return jnp.round((x - lo) * scale)
+
+
+def asw_pipeline(left, right, cfg: ASWConfig = ASWConfig()) -> StereoResult:
+    """Active reference path (`ASWeight.cpp:60-78`):
+
+    25x25 bilateral-weight truncated-AD volumes L+R -> WTA -> LR check
+    (writes 0, `ASW.h:108-145`) -> min-max scale to u8 (`ASWeight.cpp:69`,
+    which happens *before* the speckle filter, so the speckle diff of 2
+    operates on scaled values — reproduced faithfully) ->
+    `filterSpeckles(0, 40, 2)` -> `medianBlur(5)` -> `FillImageNew` ->
+    `medianBlur(3)`.
+    """
+    kw = dict(
+        disp_range=cfg.disp_range,
+        win_size=cfg.win_size,
+        space_sigma=cfg.space_sigma,
+        color_sigma=cfg.color_sigma,
+        truncation=cfg.truncation,
+    )
+    vol_l = volume.asw_volume(left, right, **kw)
+    vol_r = volume.asw_volume_right(left, right, **kw)
+    disp_l = wta.wta(vol_l, "min")
+    disp_r = wta.wta(vol_r, "min")
+
+    disp_final = None
+    if cfg.run_post:
+        lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, invalid_value=0.0)
+        d = _minmax_u8(lr.disp)
+        d = post.remove_speckles(
+            d, cfg.speckle_diff, cfg.speckle_area + 1, invalid_value=0.0
+        )
+        # OpenCV filterSpeckles removes blobs of size <= maxSpeckleSize (40);
+        # remove_speckles kills size < min_area, hence the +1 above.
+        d = post.median_filter(d, cfg.median_first, border="replicate")
+        d = post.fill_image_new(d)
+        d = post.median_filter(d, cfg.median_second, border="replicate")
+        disp_final = d
+    return StereoResult(disp_l, disp_r, disp_final)

@@ -1,0 +1,27 @@
+"""NCC window-matching pipeline (`NCC/NCC_main.cpp:8-60`)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from stereo_match_traditional_tpu.config import NCCConfig
+from stereo_match_traditional_tpu.models.base import StereoResult
+from stereo_match_traditional_tpu.ops import volume, wta
+
+
+def ncc_pipeline(left, right, cfg: NCCConfig = NCCConfig()) -> StereoResult:
+    """21x21 NCC similarity volume -> argmax WTA (`NCC/NCC.h:69-95`).
+
+    Border pixels outside the loop range (`NCC.h:72-75`) keep 0 disparity
+    (the `Mat::zeros` init at `NCC_main.cpp:20`).
+    """
+    vol, interior = volume.ncc_volume(
+        left, right, cfg.disp_range, cfg.win_size, cfg.invalid_mode, cfg.eps
+    )
+    # zero-variance windows produce NaN in the reference (double divide,
+    # `NCC.h:46`); NaN never wins its `<` comparison, so mask to the
+    # never-wins sentinel here.
+    vol = jnp.where(jnp.isnan(vol), -2.0, vol)
+    disp = wta.wta(vol, "max")
+    disp = jnp.where(interior, disp, 0.0)
+    return StereoResult(disp)

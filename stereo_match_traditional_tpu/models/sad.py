@@ -1,0 +1,44 @@
+"""SAD block-matching pipeline (`SAD/SADmain.cpp:24-99`)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from stereo_match_traditional_tpu.config import SADConfig
+from stereo_match_traditional_tpu.models.base import StereoResult
+from stereo_match_traditional_tpu.ops import post, volume, wta
+
+
+def sad_pipeline(left, right, cfg: SADConfig = SADConfig()) -> StereoResult:
+    """Active path: 9x9 SAD volume -> uniqueness WTA, left map only
+    (`SADmain.cpp:66`).  ``compute_right`` / ``run_post`` enable the dormant
+    stages (`SADmain.cpp:67-79`): plain-argmin right map
+    (`GetPointDepthRight` + `GetMinSadIndex`, `Sad.h:141-182,22-38`),
+    LR cross-check with occlusion/mismatch classes (`Sad.h:184-222`),
+    speckle removal (`Sad.h:251-315`), 8-direction hole fill
+    (`Sad.h:317-400`) and the truncate-border median (`Sad.h:224-249`).
+    """
+    vol_l = volume.sad_volume(left, right, cfg.max_disparity, cfg.winsize, "left")
+    disp_l = wta.optimal_disparity(vol_l, cfg.uniqueness_eps, cfg.subpixel)
+
+    disp_r = None
+    disp_final = None
+    occl = None
+    mism = None
+    if cfg.compute_right or cfg.run_post:
+        vol_r = volume.sad_volume(left, right, cfg.max_disparity, cfg.winsize, "right")
+        disp_r = wta.wta(vol_r, "min")
+    if cfg.run_post:
+        lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+        d = post.remove_speckles(
+            lr.disp,
+            cfg.speckle_diff,
+            cfg.speckle_area,
+            invalid_value=post.INVALID,
+            background=0.0,  # Sad.h:265 skips zero-disparity seeds
+        )
+        d = post.fill_holes_8dir(d, lr.occlusion, lr.mismatch, post.INVALID)
+        d = post.median_filter(d, 3, border="truncate")
+        disp_final = d
+        occl, mism = lr.occlusion, lr.mismatch
+    return StereoResult(disp_l, disp_r, disp_final, occl, mism)

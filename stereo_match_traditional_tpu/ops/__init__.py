@@ -1,0 +1,7 @@
+from stereo_match_traditional_tpu.ops import (  # noqa: F401
+    aggregate,
+    post,
+    scanline,
+    volume,
+    wta,
+)

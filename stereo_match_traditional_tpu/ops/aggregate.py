@@ -1,0 +1,360 @@
+"""Cost aggregation (layer L2): cross arms, rectangle-mean, two-pass cross.
+
+The reference grows arms with per-pixel while-loops (`CrossArm.cpp:147-598`,
+`CBLSM/CBLSM.h:536-966`, `cross_aggregator.cpp:135-269`) and aggregates with
+O(arm^2) per-pixel rectangle loops (`CrossArm.cpp:60-145`,
+`CBLSM.h:1179-1272`, `cross_aggregator.cpp:327-394`).  Here:
+
+* arm growth = leading-ones count over a stack of <=34 masked threshold
+  predicates (fully vectorized, SURVEY.md §2.6);
+* rectangle-mean = summed-area table + 4 gathers, O(1)/pixel;
+* two-pass cross = 1-D prefix sums + 2 gathers per pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_match_traditional_tpu.config import CrossArmConfig, CrossAggregatorParams
+
+
+class Arms(NamedTuple):
+    """Per-pixel cross-arm lengths, int32 [H, W] each."""
+
+    left: jax.Array
+    right: jax.Array
+    up: jax.Array
+    down: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# arm growth (reference style: center-vs-pixel diff, two-threshold schedule)
+# ---------------------------------------------------------------------------
+
+
+def _max_channel_diff(a: jax.Array, b: jax.Array, color: bool) -> jax.Array:
+    d = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+    if color:
+        d = jnp.max(d, axis=-1)
+    return d
+
+
+def _directional_shifts(img: jax.Array, n: int, axis: int, sign: int) -> jax.Array:
+    """values[o-1, i, j(, c)] = img shifted by o*sign along axis, edge-clamped."""
+    size = img.shape[axis]
+    pos = jnp.arange(size)
+    offs = jnp.arange(1, n + 1)
+    idx = jnp.clip(pos[None, :] + sign * offs[:, None], 0, size - 1)  # [n, size]
+    out = jnp.take(img, idx, axis=axis)  # img axes with [n, size] inserted at `axis`
+    return jnp.moveaxis(out, axis, 0)
+
+
+def _arm_one_direction(
+    img: jax.Array, cfg: CrossArmConfig, axis: int, sign: int
+) -> jax.Array:
+    """Arm length along one direction, matching the reference loop
+    (`CrossArm.cpp:147-260` pattern; parameterized as `CBLSM.h:536-750`).
+
+    Offset o is accepted iff in-bounds and max channel diff vs the *center*
+    pixel <= tao(o), where tao(o) = tao1 for o <= sec_length else tao2
+    (the reference mutates a shared member when the schedule drops —
+    `CrossArm.cpp:168-171` — a catalogued bug we do not reproduce).  Arm =
+    number of leading accepted offsets, capped at max_length; a threshold
+    failure at o=1 still yields arm 1 when the pixel is >=2 pixels from the
+    border (`CrossArm.cpp:186-196`).
+    """
+    n = cfg.max_length
+    h_or_w = img.shape[axis]
+    pos = jnp.arange(h_or_w)
+    inb = (
+        pos[None, :] + sign * jnp.arange(1, n + 1)[:, None] >= 0
+    ) & (pos[None, :] + sign * jnp.arange(1, n + 1)[:, None] <= h_or_w - 1)
+    # broadcast in-bounds mask to [n, H, W]
+    shape = [n, 1, 1]
+    shape[axis + 1] = h_or_w
+    inb = inb.reshape(shape)
+
+    shifts = _directional_shifts(img, n, axis, sign)  # [n, H, W(, C)]
+    diff = _max_channel_diff(shifts, img[None], color=img.ndim == 3)
+    tao = jnp.where(
+        jnp.arange(1, n + 1) <= cfg.sec_length, float(cfg.tao1), float(cfg.tao2)
+    ).reshape(n, 1, 1)
+    ok = inb & (diff <= tao)
+    leading = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
+
+    # min-1 rule: first offset failed the threshold (not the border) and the
+    # pixel is at least 2 from the border in this direction.
+    fail1 = inb[0] & (diff[0] > tao[0])
+    if sign < 0:
+        border_ok = pos >= 2
+    else:
+        border_ok = pos <= h_or_w - 3
+    shape2 = [1, 1]
+    shape2[axis] = h_or_w
+    border_ok = border_ok.reshape(shape2)
+    return jnp.where((leading == 0) & fail1 & border_ok, 1, leading).astype(jnp.int32)
+
+
+def cross_arms(img: jax.Array, cfg: CrossArmConfig) -> Arms:
+    """All four arms for one image (gray [H,W] or color [H,W,3]).
+
+    Matches `ComputeLeft/Right/Top/ButtonArmLength` (`CrossArm.cpp:147-598`)
+    and the parameterized `ArmLengthL/R/Up/Down` (`CBLSM.h:536-966`), with
+    the `col=_row` right-arm bug (`CrossArm.cpp:265`) fixed per SURVEY §7.
+    """
+    return Arms(
+        left=_arm_one_direction(img, cfg, 1, -1),
+        right=_arm_one_direction(img, cfg, 1, +1),
+        up=_arm_one_direction(img, cfg, 0, -1),
+        down=_arm_one_direction(img, cfg, 0, +1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# arm growth (canonical: vendored CrossAggregator rules)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_arm_one_direction(
+    img: jax.Array, params: CrossAggregatorParams, axis: int, sign: int
+) -> jax.Array:
+    """Vendored-CrossAggregator arm rules (`cross_aggregator.cpp:135-269`):
+
+    candidate n (0-based, pixel at offset n+1) extends the arm iff
+      * in bounds,
+      * ColorDist(candidate, center) < t1               (:169-172)
+      * n > 0 implies ColorDist(candidate, previous) < t1  (:174-180)
+      * n + 1 > L2 implies ColorDist(candidate, center) < t2 (:183-187)
+    capped at min(L1, 255).
+    """
+    n = min(params.cross_l1, 255)
+    h_or_w = img.shape[axis]
+    pos = jnp.arange(h_or_w)
+    offs = jnp.arange(1, n + 1)
+    inb = (pos[None, :] + sign * offs[:, None] >= 0) & (
+        pos[None, :] + sign * offs[:, None] <= h_or_w - 1
+    )
+    shape = [n, 1, 1]
+    shape[axis + 1] = h_or_w
+    inb = inb.reshape(shape)
+
+    color = img.ndim == 3
+    shifts = _directional_shifts(img, n, axis, sign)
+    d_center = _max_channel_diff(shifts, img[None], color)
+    prev = jnp.concatenate([img[None], shifts[:-1]], axis=0)
+    d_prev = _max_channel_diff(shifts, prev, color)
+
+    ok = (d_center < params.cross_t1) & inb
+    ok = ok & jnp.concatenate(
+        [jnp.ones_like(ok[:1]), d_prev[1:] < params.cross_t1], axis=0
+    )
+    beyond_l2 = (offs[:, None, None] > params.cross_l2).reshape(n, 1, 1)
+    ok = ok & (~beyond_l2 | (d_center < params.cross_t2))
+    return jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0).astype(jnp.int32)
+
+
+def canonical_cross_arms(img: jax.Array, params: CrossAggregatorParams) -> Arms:
+    """Arms per the vendored Ethan-Li CrossAggregator (`cross_aggregator.cpp:76-86`)."""
+    return Arms(
+        left=_canonical_arm_one_direction(img, params, 1, -1),
+        right=_canonical_arm_one_direction(img, params, 1, +1),
+        up=_canonical_arm_one_direction(img, params, 0, -1),
+        down=_canonical_arm_one_direction(img, params, 0, +1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rectangle-mean aggregation via summed-area tables
+# ---------------------------------------------------------------------------
+
+
+def _sat(x: jax.Array) -> jax.Array:
+    """Summed-area table with a zero border: S[..., i, j] = sum x[..., :i, :j]."""
+    c = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+    c = jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)])
+    return c
+
+
+def _rect_gather(sat: jax.Array, i0, i1, j0, j1) -> jax.Array:
+    """Inclusive rectangle sums from a SAT via 4 gathers; index arrays [H,W]."""
+    return (
+        sat[..., i1 + 1, j1 + 1]
+        - sat[..., i0, j1 + 1]
+        - sat[..., i1 + 1, j0]
+        + sat[..., i0, j0]
+    )
+
+
+def rect_mean_aggregate(
+    vol: jax.Array, arms: Arms, inclusive: bool = True
+) -> jax.Array:
+    """Per-pixel arm-rectangle mean over each disparity slice.
+
+    inclusive=True matches the active paths `AggregationVertical`
+    (`CrossArm.cpp:60-102`, bounds -L..R x -up..down inclusive) and
+    `costAggregationV5` (`CBLSM.h:1179-1224`); inclusive=False matches the
+    dormant `Aggregation`/`costAggregationV4` exclusive-upper variants
+    (`CrossArm.cpp:104-145`, `CBLSM.h:1128-1176`).  Arms never exceed the
+    image by construction, so no clamping is required (and the reference's
+    unclamped reads are in-bounds for correctly computed arms).
+
+    O(1) per pixel: one SAT per slice + 4 gathers, instead of the
+    reference's O(arm^2) inner loops.
+    """
+    h, w = vol.shape[-2], vol.shape[-1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if inclusive:
+        i0, i1 = ii - arms.up, ii + arms.down
+        j0, j1 = jj - arms.left, jj + arms.right
+        count = (arms.up + arms.down + 1) * (arms.left + arms.right + 1)
+    else:
+        i0, i1 = ii - arms.up, ii + arms.down - 1
+        j0, j1 = jj - arms.left, jj + arms.right - 1
+        count = (arms.up + arms.down) * (arms.left + arms.right)
+    i0 = jnp.clip(i0, 0, h - 1)
+    i1 = jnp.clip(i1, 0, h - 1)
+    j0 = jnp.clip(j0, 0, w - 1)
+    j1 = jnp.clip(j1, 0, w - 1)
+    sat = _sat(vol)
+    total = _rect_gather(sat, i0, i1, j0, j1)
+    return total / jnp.maximum(count, 1).astype(vol.dtype)
+
+
+# ---------------------------------------------------------------------------
+# two-pass cross aggregation (canonical)
+# ---------------------------------------------------------------------------
+
+
+def _hsum(x: jax.Array, left: jax.Array, right: jax.Array) -> jax.Array:
+    """sum_{t=-left..right} x[..., i, j+t] via a row prefix sum + 2 gathers
+    (`cross_aggregator.cpp:362-364`)."""
+    w = x.shape[-1]
+    cs = jnp.pad(jnp.cumsum(x, axis=-1), [(0, 0)] * (x.ndim - 1) + [(1, 0)])
+    jj = jnp.arange(w)[None, :]
+    hi = jnp.clip(jj + right + 1, 0, w)
+    lo = jnp.clip(jj - left, 0, w)
+    return jnp.take_along_axis(cs, jnp.broadcast_to(hi, x.shape[:-1] + (w,)), -1) - \
+        jnp.take_along_axis(cs, jnp.broadcast_to(lo, x.shape[:-1] + (w,)), -1)
+
+
+def _vsum(x: jax.Array, up: jax.Array, down: jax.Array) -> jax.Array:
+    """sum_{t=-up..down} x[..., i+t, j] (`cross_aggregator.cpp:367-369`)."""
+    xt = jnp.swapaxes(x, -1, -2)
+    return jnp.swapaxes(_hsum(xt, up.T, down.T), -1, -2)
+
+
+def cross_aggregate(
+    vol: jax.Array, arms: Arms, num_iters: int = 4, horizontal_first: bool = True
+) -> jax.Array:
+    """Iterative two-pass cross aggregation (`cross_aggregator.cpp:89-118,
+    327-394`): each iteration sums along one axis inside each pixel's arm
+    span, then along the other axis inside the arm span of the *first-pass*
+    result, normalizes by the matching support-pixel count
+    (`cross_aggregator.cpp:271-325`), and flips the pass order.
+    """
+    ones = jnp.ones(vol.shape[-2:], vol.dtype)
+    sup_h_first = _vsum(_hsum(ones, arms.left, arms.right), arms.up, arms.down)
+    sup_v_first = _hsum(_vsum(ones, arms.up, arms.down), arms.left, arms.right)
+
+    out = vol
+    hf = horizontal_first
+    for _ in range(num_iters):
+        if hf:
+            out = _vsum(_hsum(out, arms.left, arms.right), arms.up, arms.down)
+            out = out / sup_h_first
+        else:
+            out = _hsum(_vsum(out, arms.up, arms.down), arms.left, arms.right)
+            out = out / sup_v_first
+        hf = not hf
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dormant CBLSM disparity-conditioned arm volumes (`CBLSM.h:65-236`)
+# ---------------------------------------------------------------------------
+
+
+def cblsm_arm_volumes(
+    arms_l: Arms, arms_r: Arms, disp_range: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The dormant "CBLSM idea proper": per-(pixel, d) support extents that
+    intersect the left-image arms with the right-image arms shifted by d
+    (`chooseArmLengthLeft/Right/Up/Down`, `CBLSM.h:65-236`,
+    disabled at `CBLSM.cpp:108-111`).  Returns int32 [D, H, W] volumes
+    (left, right, up, down) with the reference's exact (quirky) bounds.
+    """
+    h, w = arms_l.left.shape
+    d = jnp.arange(disp_range)[:, None, None].astype(jnp.int32)
+    ll, lr = arms_l.left[None], arms_l.right[None]
+    lup, ldn = arms_l.up[None], arms_l.down[None]
+    # right-image arms sampled at the *same* column (the reference indexes
+    # ArmR* at (i, j), not (i, j-d) — `CBLSM.h:74-76`)
+    rl, rr = arms_r.left[None], arms_r.right[None]
+    rup, rdn = arms_r.up[None], arms_r.down[None]
+
+    # Left extent (`CBLSM.h:65-102`): 0 if d > RL or d > RR, else the count
+    # of a in 1..LL with a <= RL - d.
+    vol_l = jnp.where(
+        (d > rl) | (d > rr), 0, jnp.clip(jnp.minimum(ll, rl - d), 0)
+    )
+
+    # Right extent (`CBLSM.h:104-148`): precondition d <= RL (the commented
+    # j+d check is disabled); count of a in 1..LR with a >= d - RL (only
+    # a=1.. so requires d - RL <= 1) and a < RR + d.
+    vol_r = jnp.where(
+        d > rl,
+        0,
+        jnp.where(d - rl > 1, 0, jnp.clip(jnp.minimum(lr, rr + d - 1), 0)),
+    )
+
+    # Up extent (`chooseArmLengthUp`, `CBLSM.h:151-192`): the count is
+    # zeroed when LUp > RUp (the else branch resets saveValue before
+    # breaking, `CBLSM.h:181-184`) or when j < d (break at the first step
+    # with nothing counted, `CBLSM.h:170-173`); otherwise it counts steps
+    # s=1..LUp whose right-image horizontal arms at row i-s *strictly*
+    # contain column j-d (`CBLSM.h:175`: d < RL(i-s,j) and RR(i-s,j)+d > 0).
+    vol_up = _cblsm_vertical_volume(arms_l, arms_r, disp_range, up=True)
+    # Down extent (`chooseArmLengthDown`, `CBLSM.h:195-236`): overrunning
+    # RDown breaks *keeping* the count (`CBLSM.h:225-228`), so the walk is
+    # bounded by min(LDown, RDown); j < d zeroes it (`CBLSM.h:215-219`);
+    # containment is inclusive (`CBLSM.h:220`: d <= RL(i+s,j)).
+    vol_dn = _cblsm_vertical_volume(arms_l, arms_r, disp_range, up=False)
+    return vol_l.astype(jnp.int32), vol_r.astype(jnp.int32), vol_up, vol_dn
+
+
+def _cblsm_vertical_volume(
+    arms_l: Arms, arms_r: Arms, disp_range: int, up: bool
+) -> jax.Array:
+    """Vertical disparity-conditioned extents; see :func:`cblsm_arm_volumes`."""
+    h, w = arms_l.left.shape
+    max_steps = 34
+    sign = -1 if up else +1
+    l_arm = arms_l.up if up else arms_l.down
+    r_arm = arms_r.up if up else arms_r.down
+
+    ii = jnp.arange(h)
+    offs = jnp.arange(1, max_steps + 1)
+    rows = jnp.clip(ii[None, :] + sign * offs[:, None], 0, h - 1)  # [S, H]
+    ptr_l = jnp.take(arms_r.left, rows, axis=0)[:, None]   # [S, 1, H, W]
+    ptr_r = jnp.take(arms_r.right, rows, axis=0)[:, None]
+
+    d = jnp.arange(disp_range)[None, :, None, None].astype(jnp.int32)  # [1,D,1,1]
+    jj = jnp.arange(w)[None, None, None, :].astype(jnp.int32)
+    step = offs[:, None, None, None]
+    jd_valid = (jj - d) >= 0                                # [1, D, 1, W]
+
+    if up:
+        in_walk = step <= jnp.minimum(l_arm, 34)[None, None]
+        contains = (d < ptr_l) & ((ptr_r > 0) | (d > 0))    # strict bounds
+        count = jnp.sum((in_walk & contains).astype(jnp.int32), axis=0)
+        count = jnp.where(l_arm[None] > r_arm[None], 0, count)
+    else:
+        in_walk = step <= jnp.minimum(l_arm, r_arm)[None, None]
+        contains = d <= ptr_l                               # inclusive
+        count = jnp.sum((in_walk & contains).astype(jnp.int32), axis=0)
+    count = jnp.where(jd_valid[0], count, 0)
+    return count.astype(jnp.int32)

@@ -1,0 +1,461 @@
+"""Post-processing (layer L4): LR checks, speckle removal, hole filling,
+median filters, scanline fills.
+
+The reference scatters these across four near-duplicate files
+(`SAD/Sad.h:184-698`, `ASW/ASW.h:108-145,434-591`,
+`AD-CensusV1/PostProcessing.h`, `CBLSM/PostProcessing.h`); this is the single
+shared, pure-functional library.  Pixel lists (`occlusions`/`mismatches`
+vectors) become boolean masks; sequential in-place updates become
+whole-image passes (documented where that changes borderline pixels — parity
+is validated at the bad-pixel-rate level per SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INVALID = jnp.inf
+
+_NEIGHBORS_8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# left-right consistency
+# ---------------------------------------------------------------------------
+
+
+class LRResult(NamedTuple):
+    disp: jax.Array
+    occlusion: jax.Array  # bool [H, W]
+    mismatch: jax.Array   # bool [H, W]
+
+
+def lr_check_simple(
+    disp_left: jax.Array,
+    disp_right: jax.Array,
+    gate: float = 5.0,
+    invalid_value: float = INVALID,
+) -> LRResult:
+    """Integer-index LR check (`SAD/Sad.h:184-222`, `ASW/ASW.h:108-145`).
+
+    Compares dL(j) with dR(j - dL); |diff| > gate invalidates the pixel and
+    classifies it: occlusion when dL < dR else mismatch (`Sad.h:206-212`).
+    The ASW variant writes 0 instead of Invalid_Float — pass
+    ``invalid_value=0``.  The reference reads out of bounds when
+    j - dL < 0 (`Sad.h:204`); here the gather clamps (intended semantics).
+    """
+    h, w = disp_left.shape
+    dl = disp_left.astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    idx = jnp.clip(jj - dl.astype(jnp.int32), 0, w - 1)
+    dr = jnp.take_along_axis(disp_right.astype(jnp.float32), idx, axis=1)
+    bad = jnp.abs(dl - dr) > gate
+    occl = bad & (dl < dr)
+    mism = bad & ~occl
+    return LRResult(jnp.where(bad, invalid_value, dl), occl, mism)
+
+
+def lr_check_consistency(
+    disp_left: jax.Array,
+    disp_right: jax.Array,
+    gate: float = 1.0,
+    invalid_value: float = INVALID,
+) -> LRResult:
+    """Canonical rounded LR check (`AD-CensusV1/PostProcessing.h:72-135`).
+
+    * pixels already invalid join the mismatch set (:90-93);
+    * col_right = int(j - dL + 0.5) (:96); out of range -> invalid+mismatch;
+    * |dL - dR| > gate -> invalid; classified via the reprojection
+      col_rl = int(col_right + dR + 0.5): occlusion iff dL(col_rl) > dL(j)
+      (:110-122), mismatch when col_rl leaves (0, W).
+    """
+    h, w = disp_left.shape
+    dl = disp_left.astype(jnp.float32)
+    already_invalid = ~jnp.isfinite(dl) | (dl == invalid_value)
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    col_right = jnp.trunc(jj.astype(jnp.float32) - dl + 0.5).astype(jnp.int32)
+    in_range = (col_right >= 0) & (col_right < w)
+    dr = jnp.take_along_axis(
+        disp_right.astype(jnp.float32), jnp.clip(col_right, 0, w - 1), axis=1
+    )
+    bad = in_range & (jnp.abs(dl - dr) > gate)
+
+    col_rl = jnp.trunc(col_right.astype(jnp.float32) + dr + 0.5).astype(jnp.int32)
+    rl_in = (col_rl > 0) & (col_rl < w)
+    disp_l_rl = jnp.take_along_axis(dl, jnp.clip(col_rl, 0, w - 1), axis=1)
+
+    occl = bad & rl_in & (disp_l_rl > dl)
+    mism = (bad & ~occl) | (~in_range) | already_invalid
+    invalid = (bad | ~in_range) & ~already_invalid
+    out = jnp.where(invalid, invalid_value, dl)
+    return LRResult(out, occl & ~already_invalid, mism)
+
+
+# ---------------------------------------------------------------------------
+# speckle removal (connected components on device)
+# ---------------------------------------------------------------------------
+
+
+def remove_speckles(
+    disp: jax.Array,
+    diff_insame: float = 1.0,
+    min_speckle_area: int = 80,
+    invalid_value: float = INVALID,
+    background: Optional[float] = None,
+    max_iters: int = 256,
+) -> jax.Array:
+    """Connected-component speckle filter (`SAD/Sad.h:251-315`,
+    `AD-CensusV1/PostProcessing.h:250-311`; also covers OpenCV
+    ``filterSpeckles`` as used at `ASW/ASWeight.cpp:73`).
+
+    Pixels are connected (8-neighborhood) when both are valid and their
+    disparities differ by <= diff_insame; components smaller than
+    ``min_speckle_area`` become ``invalid_value``.  ``background`` marks a
+    value excluded from labeling entirely (the SAD variant skips
+    ``disp == 0`` seeds, `Sad.h:265`; the PostProcessing variant skips
+    ``disp == invalid_val`` — pass ``background=invalid_value``).
+
+    The BFS becomes iterative min-label flooding with pointer jumping (the
+    label *is* a flat pixel index, so ``L <- L[L]`` collapses chains); the
+    fixpoint is reached in O(log diameter) rounds via `lax.while_loop`.
+    """
+    h, w = disp.shape
+    d = disp.astype(jnp.float32)
+    valid = jnp.isfinite(d) & (d != invalid_value)
+    if background is not None:
+        valid = valid & (d != background)
+
+    big = jnp.int32(h * w)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    labels0 = jnp.where(valid, idx, big)
+
+    def _shift(x, dy, dx, fill):
+        xp = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
+        return jax.lax.dynamic_slice(xp, (1 + dy, 1 + dx), (h, w))
+
+    # Precompute connectivity masks per neighbor direction.
+    edges = []
+    for dy, dx in _NEIGHBORS_8:
+        nd = _shift(d, dy, dx, jnp.nan)
+        nv = _shift(valid, dy, dx, False)
+        ok = valid & nv & (jnp.abs(d - nd) <= diff_insame)
+        edges.append(ok)
+
+    def step(state):
+        labels, _ = state
+        new = labels
+        for (dy, dx), ok in zip(_NEIGHBORS_8, edges):
+            nl = _shift(labels, dy, dx, big)
+            new = jnp.minimum(new, jnp.where(ok, nl, big))
+        # pointer jumping: labels are flat indices of pixels
+        flat = new.reshape(-1)
+        flat = jnp.minimum(flat, jnp.append(flat, big)[flat])
+        flat = jnp.minimum(flat, jnp.append(flat, big)[flat])
+        new = flat.reshape(h, w)
+        return new, jnp.any(new != labels)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, step, (labels0, jnp.bool_(True)))
+
+    flat_labels = jnp.where(valid, labels, big).reshape(-1)
+    counts = jnp.zeros(h * w + 1, jnp.int32).at[flat_labels].add(
+        valid.reshape(-1).astype(jnp.int32)
+    )
+    area = counts[flat_labels].reshape(h, w)
+    kill = valid & (area < min_speckle_area)
+    return jnp.where(kill, invalid_value, d)
+
+
+# ---------------------------------------------------------------------------
+# nearest-valid scans (the engine behind every fill)
+# ---------------------------------------------------------------------------
+
+
+def _ff_op(a, b):
+    av, ai, ah = a
+    bv, bi, bh = b
+    return (
+        jnp.where(bh, bv, av),
+        jnp.where(bh, bi, ai),
+        ah | bh,
+    )
+
+
+def _nearest_valid_along_axis(
+    values: jax.Array, valid: jax.Array, axis: int, reverse: bool
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(value, steps, found) of the nearest valid pixel strictly before the
+    current one along +axis (reverse=False) or after it (reverse=True),
+    via an O(log n) associative scan."""
+    n = values.shape[axis]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    shape = [1] * values.ndim
+    shape[axis] = n
+    pos = jnp.broadcast_to(pos.reshape(shape), values.shape)
+    v, i, h = jax.lax.associative_scan(
+        _ff_op, (values, pos, valid), axis=axis, reverse=reverse
+    )
+    # make it exclusive: shift by one along the scan direction
+    def _shift_excl(x, fill):
+        pad = [(0, 0)] * x.ndim
+        if not reverse:
+            pad[axis] = (1, 0)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, n)
+            return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+        pad[axis] = (0, 1)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(1, n + 1)
+        return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+    v = _shift_excl(v, 0.0)
+    i = _shift_excl(i, jnp.int32(0))
+    h = _shift_excl(h, False)
+    steps = jnp.abs(pos - i)
+    return v, steps, h
+
+
+def _shear_indices(h: int, w: int, anti: bool) -> Tuple[jax.Array, jax.Array]:
+    """Column-index map for shearing so diagonals become columns.
+
+    anti=False: constant (j - i) diagonals -> sheared[i, k] = x[i, k - (H-1) + i]
+    anti=True : constant (j + i) anti-diagonals -> sheared[i, k] = x[i, k - i]
+    """
+    k = jnp.arange(w + h - 1)[None, :]
+    i = jnp.arange(h)[:, None]
+    col = (k - (h - 1) + i) if not anti else (k - i)
+    inb = (col >= 0) & (col < w)
+    return jnp.clip(col, 0, w - 1), inb
+
+
+def _shear(x: jax.Array, anti: bool, fill):
+    h, w = x.shape
+    col, inb = _shear_indices(h, w, anti)
+    out = jnp.take_along_axis(x, col, axis=1)
+    return jnp.where(inb, out, fill), inb
+
+
+def _unshear(sheared: jax.Array, h: int, w: int, anti: bool) -> jax.Array:
+    i = jnp.arange(h)[:, None]
+    j = jnp.arange(w)[None, :]
+    k = (j + (h - 1) - i) if not anti else (j + i)
+    return jnp.take_along_axis(sheared, jnp.broadcast_to(k, (h, w)), axis=1)
+
+
+def directional_candidates(
+    disp: jax.Array, valid: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """First valid disparity along each of the 8 rays from every pixel
+    (`SAD/Sad.h:359-378`, `PostProcessing.h:202-220`).
+
+    Returns (values [8, H, W] with +inf where the ray found nothing,
+    steps [8, H, W] — pixel steps along the ray).  Axis rays use row/column
+    scans; diagonal rays shear the image so each diagonal becomes a column,
+    scan, and unshear — exact nearest-valid without per-pixel ray walks.
+    """
+    h, w = disp.shape
+    d = disp.astype(jnp.float32)
+
+    outs = []
+    steps_out = []
+
+    def _collect(v, s, hfound):
+        outs.append(jnp.where(hfound, v, jnp.inf))
+        steps_out.append(s)
+
+    # E (+x): nearest valid after along axis 1; W (-x): before.
+    v, s, f = _nearest_valid_along_axis(d, valid, 1, reverse=True)
+    _collect(v, s, f)
+    v, s, f = _nearest_valid_along_axis(d, valid, 1, reverse=False)
+    _collect(v, s, f)
+    # S (+y), N (-y)
+    v, s, f = _nearest_valid_along_axis(d, valid, 0, reverse=True)
+    _collect(v, s, f)
+    v, s, f = _nearest_valid_along_axis(d, valid, 0, reverse=False)
+    _collect(v, s, f)
+
+    for anti in (False, True):
+        dv, _ = _shear(d, anti, 0.0)
+        vv, _ = _shear(valid, anti, False)
+        # +diag (down the sheared column) and -diag (up)
+        for reverse in (True, False):
+            v, s, f = _nearest_valid_along_axis(dv, vv, 0, reverse=reverse)
+            _collect(
+                _unshear(jnp.where(f, v, jnp.inf), h, w, anti),
+                _unshear(s, h, w, anti),
+                True,
+            )
+
+    values = jnp.stack(outs)  # inf already encodes not-found for diagonals
+    steps = jnp.stack(steps_out)
+    return values, steps
+
+
+def _fill_from_candidates(
+    disp: jax.Array,
+    target: jax.Array,
+    second_smallest: bool,
+    max_axis_steps: Optional[int],
+    max_diag_steps: Optional[int],
+) -> jax.Array:
+    """Fill ``target`` pixels from 8-ray candidates: second-smallest for
+    occlusions, median for mismatches (`PostProcessing.h:229-239`,
+    `Sad.h:385-397`).  Pixels whose rays found nothing keep their value
+    (`disp_collects.empty() -> continue`)."""
+    valid = jnp.isfinite(disp)
+    cand, steps = directional_candidates(disp, valid)
+    if max_axis_steps is not None:
+        limit = jnp.array(
+            [max_axis_steps] * 4 + [max_diag_steps] * 4, jnp.int32
+        ).reshape(8, 1, 1)
+        cand = jnp.where(steps <= limit, cand, jnp.inf)
+    cand = jnp.sort(cand, axis=0)
+    count = jnp.sum(jnp.isfinite(cand), axis=0)
+    if second_smallest:
+        pick_idx = jnp.where(count > 1, 1, 0)
+    else:
+        pick_idx = jnp.clip(count // 2, 0, 7)
+    chosen = jnp.take_along_axis(cand, pick_idx[None], axis=0)[0]
+    do_fill = target & (count > 0)
+    return jnp.where(do_fill, chosen, disp)
+
+
+def fill_holes_8dir(
+    disp: jax.Array,
+    occlusion: jax.Array,
+    mismatch: jax.Array,
+    invalid_value: float = INVALID,
+    max_search: Optional[int] = None,
+) -> jax.Array:
+    """8-direction hole filling (`AD-CensusV1/PostProcessing.h:156-248`,
+    `SAD/Sad.h:317-400`).
+
+    Three passes: occlusions get the second-smallest ray candidate,
+    mismatches the median, then any remaining invalid pixels get the median
+    (`PostProcessing.h:172-190`).  Each pass sees the previous pass's fills
+    (the reference also updates within a pass pixel-by-pixel; the
+    within-pass difference only affects adjacent invalid pixels and is
+    covered by the bad-pixel-rate parity budget).  ``max_search`` mirrors
+    `PostProcessing.h:169` (ray capped at dispRange steps; the reference's
+    ``lround(m*sin)`` walk advances diagonals ~0.707 px/step, so the
+    diagonal cap scales accordingly); None = unbounded (`Sad.h:365`).
+
+    The angle1/angle2 swap at ``y == height/2`` (`PostProcessing.h:198-200`)
+    permutes the same 8 directions and is a no-op once candidates are
+    sorted, so it needs no counterpart here.
+    """
+    max_axis = None if max_search is None else max(max_search - 1, 0)
+    max_diag = None if max_search is None else int(round(max_axis * 0.70710678))
+
+    d = jnp.where(disp == invalid_value, jnp.inf, disp.astype(jnp.float32))
+    d = _fill_from_candidates(d, occlusion & ~jnp.isfinite(d), True, max_axis, max_diag)
+    d = _fill_from_candidates(d, mismatch & ~jnp.isfinite(d), False, max_axis, max_diag)
+    d = _fill_from_candidates(d, ~jnp.isfinite(d), False, max_axis, max_diag)
+    return jnp.where(jnp.isfinite(d), d, invalid_value)
+
+
+# ---------------------------------------------------------------------------
+# scanline fills (`SAD/Sad.h:403-698`, `ASW/ASW.h:434-591`)
+# ---------------------------------------------------------------------------
+
+
+def fill_image_new(disp: jax.Array) -> jax.Array:
+    """`FillImageNew` (`ASW/ASW.h:434-511`): zero-valued pixels take the
+    nearest non-zero value to the left, else the nearest to the right,
+    else 0.  All lookups read the pre-fill map (writes happen after
+    collection in the reference too)."""
+    d = disp.astype(jnp.float32)
+    valid = d != 0
+    lv, _, lf = _nearest_valid_along_axis(d, valid, 1, reverse=False)
+    rv, _, rf = _nearest_valid_along_axis(d, valid, 1, reverse=True)
+    fill = jnp.where(lf, lv, jnp.where(rf, rv, 0.0))
+    return jnp.where(valid, d, fill)
+
+
+def fill_image(disp: jax.Array) -> jax.Array:
+    """`FillImage` (`SAD/Sad.h:403-480`): leftward-only nearest-valid fill
+    for zero pixels; rays that hit the border fill 0."""
+    d = disp.astype(jnp.float32)
+    valid = d != 0
+    lv, _, lf = _nearest_valid_along_axis(d, valid, 1, reverse=False)
+    return jnp.where(valid, d, jnp.where(lf, lv, 0.0))
+
+
+def fill_image_second_times(disp: jax.Array, threshold: float = 20.0) -> jax.Array:
+    """`FillImageSecondTimes` (`SAD/Sad.h:483-538`): pixels <= threshold take
+    the nearest value > 0 to the right, else the threshold value."""
+    d = disp.astype(jnp.float32)
+    target = d <= threshold
+    valid = d != 0
+    rv, _, rf = _nearest_valid_along_axis(d, valid, 1, reverse=True)
+    fill = jnp.where(rf, rv, threshold)
+    return jnp.where(target, fill, d)
+
+
+def fill_image_last(disp: jax.Array) -> jax.Array:
+    """`FillImageLast` (`SAD/Sad.h:621-698`, `ASW/ASW.h:514-591`): vertical
+    variant — nearest non-zero above, else below, else 0."""
+    d = disp.astype(jnp.float32)
+    valid = d != 0
+    uv, _, uf = _nearest_valid_along_axis(d, valid, 0, reverse=False)
+    dv, _, df = _nearest_valid_along_axis(d, valid, 0, reverse=True)
+    fill = jnp.where(uf, uv, jnp.where(df, dv, 0.0))
+    return jnp.where(valid, d, fill)
+
+
+# ---------------------------------------------------------------------------
+# median filters
+# ---------------------------------------------------------------------------
+
+
+def _window_stack(x: jax.Array, radius: int, fill) -> Tuple[jax.Array, jax.Array]:
+    """[(2r+1)^2, H, W] stack of shifted copies + in-bounds mask."""
+    h, w = x.shape
+    xs = []
+    inb = []
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    xp = jnp.pad(x, radius, constant_values=fill)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            xs.append(
+                jax.lax.dynamic_slice(xp, (radius + dy, radius + dx), (h, w))
+            )
+            inb.append(
+                (ri + dy >= 0) & (ri + dy < h) & (ci + dx >= 0) & (ci + dx < w)
+            )
+    return jnp.stack(xs), jnp.stack(inb)
+
+
+def median_filter(x: jax.Array, size: int, border: str = "truncate") -> jax.Array:
+    """Window median.
+
+    border='truncate' matches the reference's own median
+    (`PostProcessing.h:314-344`, `SAD/Sad.h:224-249`): only in-bounds values
+    participate and the median is ``sorted[count / 2]``.
+    border='replicate' matches OpenCV ``medianBlur`` (`ASWeight.cpp:74,78`).
+    """
+    radius = size // 2
+    xf = x.astype(jnp.float32)
+    if border == "replicate":
+        h, w = x.shape
+        xp = jnp.pad(xf, radius, mode="edge")
+        xs = [
+            jax.lax.dynamic_slice(xp, (radius + dy, radius + dx), (h, w))
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+        ]
+        stack = jnp.stack(xs)
+        return jnp.sort(stack, axis=0)[stack.shape[0] // 2]
+    stack, inb = _window_stack(xf, radius, jnp.inf)
+    stack = jnp.where(inb, stack, jnp.inf)
+    count = jnp.sum(inb, axis=0)
+    s = jnp.sort(stack, axis=0)
+    pick = jnp.clip(count // 2, 0, s.shape[0] - 1)
+    return jnp.take_along_axis(s, pick[None], axis=0)[0]

@@ -1,0 +1,116 @@
+"""4-path scanline (SGM-style) cost optimization.
+
+Re-designs `AD-CensusV1/ScanlineOptimizer.h:104-253` as a `jax.lax.scan`
+over image columns/rows with every pixel of the perpendicular axis processed
+in parallel — the serial per-pixel recurrence becomes a [H, D] vector update
+per step.  The recurrence (`ScanlineOptimizer.h:173-183`):
+
+    L(p, d) = C(p, d) + min(L(p-1, d),
+                            L(p-1, d-1) + P1,
+                            L(p-1, d+1) + P1,
+                            min_d' L(p-1, d') + P2) - min_d' L(p-1, d')
+    P2 = max(P1, P2_init / (|I(p) - I(p-1)| + 1))        (:171,232)
+
+Sentinel-padded neighbors (`costLastPath[dispRange+2]` init 0xffff,
+`ScanlineOptimizer.h:151`) become +inf pads on the d axis.  The reference's
+vertical passes read ``costLastPath[d+1]`` for the ``l2`` term
+(`ScanlineOptimizer.h:238`), silently dropping the d-1 transition; set
+``faithful_vertical_l2=True`` to reproduce that quirk (default is canonical
+SGM on all four paths).
+
+Cross-tile (multi-chip) continuation of these scans lives in
+``stereo_match_traditional_tpu.parallel.scan_carry``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_match_traditional_tpu.config import ScanlineConfig
+
+_BIG = jnp.float32(jnp.inf)
+
+
+def _directional_pass(
+    cost: jax.Array,
+    gray: jax.Array,
+    p1: float,
+    p2_init: float,
+    l2_uses_dm1: bool = True,
+    init_carry: Tuple[jax.Array, jax.Array] = None,
+    init_gray: jax.Array = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One directional pass.
+
+    cost: [N, H, D] with axis 0 the path direction; gray: [N, H].
+    Returns (aggregated [N, H, D], final carry) — the carry (last aggregated
+    column and its min) is what crosses device boundaries in the sharded
+    scan (parallel.scan_carry).
+    ``init_carry``/``init_gray`` continue a scan from a neighbor tile.
+    """
+    n, h, d = cost.shape
+
+    prev_g = jnp.concatenate(
+        [gray[:1] if init_gray is None else init_gray[None], gray[:-1]], axis=0
+    )
+    p2 = jnp.maximum(p1, p2_init / (jnp.abs(gray - prev_g) + 1.0))  # [N, H]
+
+    def body(carry, xs):
+        prev, prev_min = carry  # [H, D], [H]
+        c, p2_col = xs          # [H, D], [H]
+        inf_col = jnp.full((h, 1), _BIG)
+        l1 = prev
+        if l2_uses_dm1:
+            l2 = jnp.concatenate([inf_col, prev[:, :-1]], axis=1) + p1
+        else:
+            # reference vertical quirk: l2 = costLastPath[d+1] + p1 == prev[d]+p1
+            l2 = prev + p1
+        l3 = jnp.concatenate([prev[:, 1:], inf_col], axis=1) + p1
+        l4 = (prev_min + p2_col)[:, None]
+        out = c + jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4)) - prev_min[:, None]
+        return (out, jnp.min(out, axis=1)), out
+
+    if init_carry is None:
+        first = cost[0]
+        carry0 = (first, jnp.min(first, axis=1))
+        xs = (cost[1:], p2[1:])
+        carry, ys = jax.lax.scan(body, carry0, xs)
+        agg = jnp.concatenate([first[None], ys], axis=0)
+    else:
+        carry, ys = jax.lax.scan(body, init_carry, (cost, p2))
+        agg = ys
+    return agg, carry
+
+
+def scanline_optimize(
+    cost: jax.Array, gray: jax.Array, cfg: ScanlineConfig = ScanlineConfig()
+) -> jax.Array:
+    """Sum of the four directional volumes (`ScanlineOptimizer.h:104-128`).
+
+    cost: [D, H, W]; gray: [H, W] (the left image drives the adaptive P2,
+    `AD-CensusV1/main.cpp:88` passes ``leftptr``).
+    """
+    p1, p2 = cfg.p1, cfg.p2
+    vert_dm1 = not cfg.faithful_vertical_l2
+
+    # horizontal: scan over W; lanes = rows.
+    c_whd = jnp.transpose(cost, (2, 1, 0))          # [W, H, D]
+    g_wh = gray.astype(jnp.float32).T               # [W, H]
+    lr, _ = _directional_pass(c_whd, g_wh, p1, p2, True)
+    rl, _ = _directional_pass(c_whd[::-1], g_wh[::-1], p1, p2, True)
+    rl = rl[::-1]
+
+    # vertical: scan over H; lanes = columns.
+    c_hwd = jnp.transpose(cost, (1, 2, 0))          # [H, W, D]
+    g_hw = gray.astype(jnp.float32)                 # [H, W]
+    ud, _ = _directional_pass(c_hwd, g_hw, p1, p2, vert_dm1)
+    du, _ = _directional_pass(c_hwd[::-1], g_hw[::-1], p1, p2, vert_dm1)
+    du = du[::-1]
+
+    total = (
+        jnp.transpose(lr + rl, (2, 1, 0)) + jnp.transpose(ud + du, (2, 0, 1))
+    )
+    return total

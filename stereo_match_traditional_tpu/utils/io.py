@@ -1,0 +1,111 @@
+"""Host-side image I/O and color conversion (layer L0).
+
+Replaces the reference's OpenCV calls (`imread`/`imwrite`/`cvtColor`/
+`copyMakeBorder`/`normalize`, e.g. `SAD/SADmain.cpp:27-48,86-95`,
+`ASW/ASWeight.cpp:32-57`) with numpy + imageio on the host.  Everything here
+is pure numpy — device code lives in ``ops``.
+
+Color images are RGB uint8 in memory (imageio convention).  The reference
+uses OpenCV BGR, but every BGR-sensitive computation it performs (max channel
+diff for arms, per-channel Lab weights) is channel-order invariant or handled
+explicitly in :func:`rgb_to_lab_u8`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # imageio is baked into the image; gate anyway.
+    import imageio.v3 as _iio
+except Exception:  # pragma: no cover
+    _iio = None
+
+
+def imread(path: str) -> np.ndarray:
+    """Read an image as uint8; grayscale stays [H, W], color is RGB [H, W, 3]."""
+    if _iio is None:  # pragma: no cover
+        raise RuntimeError("imageio is unavailable; cannot read images")
+    img = np.asarray(_iio.imread(path))
+    if img.ndim == 3 and img.shape[2] == 4:
+        img = img[..., :3]
+    return img.astype(np.uint8)
+
+
+def imwrite(path: str, img: np.ndarray) -> None:
+    if _iio is None:  # pragma: no cover
+        raise RuntimeError("imageio is unavailable; cannot write images")
+    _iio.imwrite(path, np.asarray(img, dtype=np.uint8))
+
+
+def rgb_to_gray_u8(img: np.ndarray) -> np.ndarray:
+    """OpenCV-compatible RGB->gray (`cvtColor(CV_BGR2GRAY)`).
+
+    OpenCV uses fixed-point 0.299 R + 0.587 G + 0.114 B with rounding; the
+    reference converts every color input this way (`SADmain.cpp:39-40`,
+    `AD-CensusV1/main.cpp:19-20`, `CBLSM/CBLSM.cpp:21-22`).
+    """
+    if img.ndim == 2:
+        return img.astype(np.uint8)
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return np.clip(np.round(gray), 0, 255).astype(np.uint8)
+
+
+def rgb_to_lab_u8(img: np.ndarray) -> np.ndarray:
+    """OpenCV 8-bit Lab convention (`cvtColor(CV_BGR2Lab)` on CV_8UC3).
+
+    Used by the ASW driver (`ASW/ASWeight.cpp:33-34`) for the dormant
+    Lab-weight variant (`ASW/ASW.h:49-80`).  OpenCV maps L in [0,100] to
+    [0,255] via L*255/100 and a,b to a+128, b+128 (D65 white).
+    """
+    rgb = img.astype(np.float64) / 255.0
+
+    def _inv_gamma(c):
+        return np.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
+
+    rgb_lin = _inv_gamma(rgb)
+    m = np.array(
+        [
+            [0.412453, 0.357580, 0.180423],
+            [0.212671, 0.715160, 0.072169],
+            [0.019334, 0.119193, 0.950227],
+        ]
+    )
+    xyz = rgb_lin @ m.T
+    # normalize by D65 white point
+    xyz = xyz / np.array([0.950456, 1.0, 1.088754])
+
+    def _f(t):
+        return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = _f(xyz[..., 0]), _f(xyz[..., 1]), _f(xyz[..., 2])
+    L = np.where(xyz[..., 1] > 0.008856, 116.0 * fy - 16.0, 903.3 * xyz[..., 1])
+    a = 500.0 * (fx - fy) + 128.0
+    b = 200.0 * (fy - fz) + 128.0
+    lab = np.stack([L * 255.0 / 100.0, a, b], axis=-1)
+    return np.clip(np.round(lab), 0, 255).astype(np.uint8)
+
+
+def replicate_pad(img: np.ndarray, pad: int) -> np.ndarray:
+    """`copyMakeBorder(..., BORDER_REPLICATE)` (`SAD/SADmain.cpp:47-48`)."""
+    width = [(pad, pad), (pad, pad)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, width, mode="edge")
+
+
+def normalize_u8(x: np.ndarray) -> np.ndarray:
+    """`cv::normalize(NORM_MINMAX, 255, 0)` + `convertTo(CV_8UC1)`
+    (`SAD/Sad.h:87-92`): min-max stretch to [0, 255] with round-to-nearest."""
+    x = np.asarray(x, dtype=np.float64)
+    finite = np.isfinite(x)
+    if not finite.any():
+        return np.zeros(x.shape, dtype=np.uint8)
+    lo = x[finite].min()
+    hi = x[finite].max()
+    if hi <= lo:
+        out = np.zeros_like(x)
+    else:
+        out = (x - lo) * (255.0 / (hi - lo))
+    out = np.where(finite, out, 0.0)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

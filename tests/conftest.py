@@ -1,0 +1,33 @@
+"""Test harness config: force the CPU backend with 8 virtual devices.
+
+Must run before any jax import (the container's sitecustomize pins
+JAX_PLATFORMS=axon, so we override here and again via jax.config).
+Multi-device tests then exercise shard_map/halo/scan-carry code paths on the
+8-device CPU mesh exactly as they run on a real TPU slice (SURVEY.md §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from stereo_match_traditional_tpu.utils.synthetic import make_pair  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_pair():
+    return make_pair(32, 44, 10, seed=3)
+
+
+@pytest.fixture(scope="session")
+def small_pair():
+    return make_pair(48, 64, 12, seed=1)

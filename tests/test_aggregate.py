@@ -1,0 +1,74 @@
+"""Arm growth + aggregation vs. brute-force oracles."""
+
+import numpy as np
+import pytest
+
+import oracles
+from stereo_match_traditional_tpu.config import CrossArmConfig, CrossAggregatorParams
+from stereo_match_traditional_tpu.ops import aggregate
+
+
+def _img(seed=0, h=20, w=26, color=False):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(h, w) + ((3,) if color else ()), dtype=np.uint8)
+    # add flat regions so arms actually grow
+    base[5:15, 4:20] = base[5, 4]
+    return base
+
+
+@pytest.mark.parametrize("color", [False, True])
+def test_cross_arms_match_oracle(color):
+    img = _img(color=color)
+    cfg = CrossArmConfig(tao1=25, tao2=6, max_length=12, sec_length=5)
+    arms = aggregate.cross_arms(img, cfg)
+    for name, got in zip(("left", "right", "up", "down"), arms):
+        want = oracles.arm_length(img, cfg.tao1, cfg.tao2, cfg.max_length, cfg.sec_length, name)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=name)
+
+
+@pytest.mark.parametrize("color", [False, True])
+def test_canonical_arms_match_oracle(color):
+    img = _img(seed=2, color=color)
+    p = CrossAggregatorParams(cross_l1=10, cross_l2=4, cross_t1=20, cross_t2=6)
+    arms = aggregate.canonical_cross_arms(img, p)
+    for name, got in zip(("left", "right", "up", "down"), arms):
+        want = oracles.canonical_arm(img, p.cross_t1, p.cross_t2, p.cross_l1, p.cross_l2, name)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=name)
+
+
+def test_rect_mean_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    vol = rng.standard_normal((4, 12, 14)).astype(np.float32)
+    img = _img(seed=1, h=12, w=14)
+    cfg = CrossArmConfig(tao1=25, max_length=6, sec_length=3)
+    arms = aggregate.cross_arms(img, cfg)
+    got = np.asarray(aggregate.rect_mean_aggregate(vol, arms))
+    l, r, u, d = (np.asarray(a) for a in arms)
+    want = oracles.rect_mean_aggregate(vol, l, r, u, d, inclusive=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_cross_two_pass_matches_bruteforce():
+    rng = np.random.default_rng(8)
+    vol = rng.standard_normal((3, 10, 12)).astype(np.float64)
+    img = _img(seed=3, h=10, w=12, color=True)
+    p = CrossAggregatorParams(cross_l1=6, cross_l2=3, cross_t1=25, cross_t2=8)
+    arms = aggregate.canonical_cross_arms(img, p)
+    got = np.asarray(aggregate.cross_aggregate(vol, arms, num_iters=4))
+    l, r, u, d = (np.asarray(a) for a in arms)
+    want = oracles.cross_two_pass(vol, (l, r, u, d), num_iters=4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_arm_bounds():
+    """Arms never cross the image border (aggregation reads stay in-bounds)."""
+    img = _img(seed=4)
+    cfg = CrossArmConfig()
+    arms = aggregate.cross_arms(img, cfg)
+    h, w = img.shape
+    ii = np.arange(h)[:, None]
+    jj = np.arange(w)[None, :]
+    assert (np.asarray(arms.left) <= jj).all()
+    assert (np.asarray(arms.right) <= w - 1 - jj).all()
+    assert (np.asarray(arms.up) <= ii).all()
+    assert (np.asarray(arms.down) <= h - 1 - ii).all()

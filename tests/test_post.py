@@ -1,0 +1,128 @@
+"""Post-processing vs. oracles: LR checks, speckles, fills, medians."""
+
+import numpy as np
+
+import oracles
+from stereo_match_traditional_tpu.ops import post
+
+
+def _disp_maps(seed=0, h=10, w=14, dmax=8):
+    rng = np.random.default_rng(seed)
+    dl = rng.integers(0, dmax, size=(h, w)).astype(np.float32)
+    dr = rng.integers(0, dmax, size=(h, w)).astype(np.float32)
+    return dl, dr
+
+
+def test_lr_check_simple_matches_oracle():
+    dl, dr = _disp_maps()
+    got = post.lr_check_simple(dl, dr, gate=2.0, invalid_value=np.inf)
+    want_d, want_o, want_m = oracles.lr_check_simple(dl, dr, 2.0, np.inf)
+    np.testing.assert_array_equal(np.asarray(got.disp), want_d)
+    np.testing.assert_array_equal(np.asarray(got.occlusion), want_o)
+    np.testing.assert_array_equal(np.asarray(got.mismatch), want_m)
+
+
+def test_lr_check_consistency_basic():
+    """Consistent maps pass; inconsistent pixels are invalidated."""
+    h, w = 6, 20
+    gt = np.full((h, w), 4.0, np.float32)
+    dl = gt.copy()
+    dr = gt.copy()
+    dl[3, 10] = 9.0  # broken pixel
+    res = post.lr_check_consistency(dl, dr, gate=1.0)
+    out = np.asarray(res.disp)
+    assert np.isinf(out[3, 10])
+    interior = out[:, 5:]  # pixels whose reprojection stays in range
+    finite = np.isfinite(interior)
+    assert finite.sum() > 0
+    assert (interior[finite] == 4.0).all()
+
+
+def test_remove_speckles_matches_bfs_oracle():
+    rng = np.random.default_rng(5)
+    h, w = 16, 18
+    d = np.zeros((h, w), np.float32)
+    d[:8, :9] = 3.0
+    d[10:12, 12:14] = 9.0     # 4-pixel speckle
+    d[14, 2] = 20.0           # 1-pixel speckle
+    d += rng.uniform(0, 0.4, size=(h, w)).astype(np.float32)
+    got = np.asarray(post.remove_speckles(d, 1.0, 6, invalid_value=np.inf))
+    want = oracles.remove_speckles(d, 1.0, 6, np.inf)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_remove_speckles_background_skip():
+    d = np.zeros((8, 8), np.float32)
+    d[2, 2] = 5.0
+    got = np.asarray(
+        post.remove_speckles(d, 1.0, 3, invalid_value=np.inf, background=0.0)
+    )
+    want = oracles.remove_speckles(d, 1.0, 3, np.inf, background=0.0)
+    np.testing.assert_array_equal(got, want)
+    assert np.isinf(got[2, 2])       # tiny non-zero blob removed
+    assert (got[0] == 0).all()       # zero background untouched
+
+
+def test_median_truncate_matches_oracle():
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0, 50, size=(9, 11)).astype(np.float32)
+    got = np.asarray(post.median_filter(x, 3, "truncate"))
+    want = oracles.median_filter_truncate(x, 3)
+    np.testing.assert_allclose(got, want)
+
+
+def test_median_replicate_center():
+    x = np.arange(25, dtype=np.float32).reshape(5, 5)
+    got = np.asarray(post.median_filter(x, 3, "replicate"))
+    assert got[2, 2] == 12.0
+
+
+def test_fill_holes_matches_oracle():
+    rng = np.random.default_rng(9)
+    h, w = 12, 15
+    d = rng.integers(1, 9, size=(h, w)).astype(np.float32)
+    occl = np.zeros((h, w), bool)
+    mism = np.zeros((h, w), bool)
+    occl[3, 4] = occl[7, 9] = True
+    mism[5, 5] = mism[10, 2] = True
+    d[occl | mism] = np.inf
+    d[6, 6] = np.inf  # leftover invalid for the k==2 pass
+
+    got = np.asarray(post.fill_holes_8dir(d, occl, mism, np.inf))
+
+    cur = d.copy()
+    cur = oracles.fill_pass(cur, occl & ~np.isfinite(cur), True)
+    cur = oracles.fill_pass(cur, mism & ~np.isfinite(cur), False)
+    cur = oracles.fill_pass(cur, ~np.isfinite(cur), False)
+    np.testing.assert_allclose(got, cur)
+
+
+def test_directional_candidates_axis_and_diag():
+    d = np.zeros((5, 5), np.float32)
+    d[0, 0] = 3.0
+    d[2, 4] = 7.0
+    valid = d != 0
+    vals, steps = post.directional_candidates(d, valid)
+    vals = np.asarray(vals)
+    # from (2,2): NW ray hits (0,0)=3 at 2 diagonal steps; E ray hits (2,4)=7
+    got = sorted(v for v in vals[:, 2, 2] if np.isfinite(v))
+    assert got == [3.0, 7.0]
+
+
+def test_fill_image_new_semantics():
+    d = np.array([[0, 0, 5, 0, 7, 0]], np.float32)
+    got = np.asarray(post.fill_image_new(d))
+    # left-nearest first, else right-nearest, else 0
+    np.testing.assert_array_equal(got, [[5, 5, 5, 5, 7, 7]])
+
+
+def test_fill_image_left_only():
+    d = np.array([[0, 4, 0, 0]], np.float32)
+    got = np.asarray(post.fill_image(d))
+    np.testing.assert_array_equal(got, [[0, 4, 4, 4]])
+
+
+def test_fill_image_last_vertical():
+    d = np.array([[0], [3], [0]], np.float32)
+    got = np.asarray(post.fill_image_last(d))
+    np.testing.assert_array_equal(got, [[3], [3], [3]])

@@ -1,0 +1,135 @@
+"""Cost-volume kernels vs. NumPy oracles (unit tests per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import oracles
+from stereo_match_traditional_tpu.ops import volume
+
+
+def test_ad_volume_left_right(tiny_pair):
+    L, R, _ = tiny_pair
+    for view in ("left", "right"):
+        got = np.asarray(volume.ad_volume(L, R, 8, view))
+        want = oracles.ad_volume(L, R, 8, view)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sad_volume(tiny_pair):
+    L, R, _ = tiny_pair
+    got = np.asarray(volume.sad_volume(L, R, 8, winsize=1, view="left"))
+    want = oracles.sad_volume(L, R, 8, winsize=1, view="left")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
+
+def test_sad_volume_right(tiny_pair):
+    L, R, _ = tiny_pair
+    got = np.asarray(volume.sad_volume(L, R, 8, winsize=1, view="right"))
+    want = oracles.sad_volume(L, R, 8, winsize=1, view="right")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
+
+def test_sad_volume_mean(tiny_pair):
+    L, R, _ = tiny_pair
+    got = np.asarray(volume.sad_volume(L, R, 6, winsize=2, view="left", mean=True))
+    want = oracles.sad_volume(L, R, 6, winsize=2, view="left", mean=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_ncc_volume(tiny_pair):
+    L, R, _ = tiny_pair
+    win = 3
+    got, interior = volume.ncc_volume(L, R, 8, win)
+    got = np.asarray(got)
+    want = oracles.ncc_volume(L, R, 8, win)
+    inter = np.asarray(interior)
+    # compare only interior, valid, non-degenerate entries
+    mask = inter[None] & (want > -2) & np.isfinite(want)
+    np.testing.assert_allclose(got[mask], want[mask], atol=2e-3)
+
+
+def test_census_transform_bits():
+    img = np.arange(30, dtype=np.uint8).reshape(5, 6) * 7 % 251
+    hi, lo = volume.census_transform(img, 9, 7)
+    codes = oracles.census_codes(img, 9, 7)
+    got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(lo).astype(
+        np.uint64
+    )
+    # oracle codes are python ints of 63 bits: hi holds the first 31 bits
+    for i in range(5):
+        for j in range(6):
+            want = int(codes[i, j])
+            g = (int(np.asarray(hi)[i, j]) << 32) | (int(np.asarray(lo)[i, j]) & 0xFFFFFFFF)
+            assert g == want, (i, j, bin(g), bin(want))
+
+
+def test_census_volume(tiny_pair):
+    L, R, _ = tiny_pair
+    got = np.asarray(volume.census_volume(L, R, 6, 9, 7, "left"))
+    want = oracles.census_volume(L, R, 6, 9, 7, "left")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_census_volume_right(tiny_pair):
+    L, R, _ = tiny_pair
+    got = np.asarray(volume.census_volume(L, R, 6, 9, 7, "right"))
+    want = oracles.census_volume(L, R, 6, 9, 7, "right")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ad_census_fusion(tiny_pair):
+    L, R, _ = tiny_pair
+    got = np.asarray(volume.ad_census_volume(L, R, 6, 10.0, 30.0))
+    ad = oracles.ad_volume(L, R, 6)
+    cen = oracles.census_volume(L, R, 6)
+    want = (1 - np.exp(-ad / 10.0)) + (1 - np.exp(-cen / 30.0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_asw_volume():
+    from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+    L, R, _ = make_pair(14, 18, 5, seed=2)
+    got = np.asarray(
+        volume.asw_volume(L, R, 5, win_size=2, space_sigma=50, color_sigma=30, truncation=40)
+    )
+    want = oracles.asw_volume(L, R, 5, 2, 50, 30, 40)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_asw_right_mirror_symmetry():
+    """Right-view ASW equals a brute-force mirror computation."""
+    from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+    L, R, _ = make_pair(12, 16, 4, seed=5)
+    got = np.asarray(
+        volume.asw_volume_right(L, R, 4, win_size=1, space_sigma=50, color_sigma=30, truncation=40)
+    )
+    # oracle: flip, swap roles, unflip
+    want = oracles.asw_volume(R[:, ::-1], L[:, ::-1], 4, 1, 50, 30, 40)[:, :, ::-1]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_box_sum_matches_naive():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((11, 13)).astype(np.float32)
+    got = np.asarray(volume.box_sum_same(x, 2, 1))
+    want = np.zeros_like(x)
+    for i in range(11):
+        for j in range(13):
+            want[i, j] = x[max(i - 2, 0) : i + 3, max(j - 1, 0) : j + 2].sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_border_fill_matches_prev_copy():
+    """border_fill == the reference's cost[d]=cost[d-1] recursion."""
+    rng = np.random.default_rng(1)
+    vol = rng.standard_normal((6, 4, 9)).astype(np.float32)
+    got = np.asarray(volume.border_fill(vol, "left"))
+    want = vol.copy()
+    for d in range(6):
+        for j in range(9):
+            if d > j:
+                want[d, :, j] = want[d - 1, :, j]
+    np.testing.assert_array_equal(got, want)
