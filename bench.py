@@ -1,0 +1,100 @@
+"""Benchmark harness: flagship AD-Census throughput on the default device.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "MPixDisp/s", "vs_baseline": N}
+
+Workload = the reference's committed AD-Census driver
+(`AD-CensusV1/main.cpp:58-84`): Teddy-shaped 450x375 pair, dispRange 60,
+fused AD+Census9x7 cost L+R, cross-arm rectangle-mean aggregation, dual WTA.
+``vs_baseline`` is the ratio to an independent single-threaded C++
+re-implementation of the same path with the reference's per-pixel loop
+structure (`native/cpu_baseline/ad_census_baseline.cpp`) — the reference
+itself publishes no numbers (BASELINE.md).
+
+Usage: python bench.py [--pipeline ad_census] [--iters 20]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# Measured on this container's CPU (g++ -O2, best of 3); re-measured live
+# when the baseline binary is present/buildable.
+_RECORDED_CPU_BASELINE = 4.554  # MPixDisp/s
+
+
+def _cpu_baseline() -> float:
+    exe = os.path.join(_REPO, "native", "cpu_baseline", "ad_census_baseline")
+    src = exe + ".cpp"
+    try:
+        if not os.path.exists(exe) and os.path.exists(src):
+            subprocess.run(
+                ["g++", "-O2", "-o", exe, src], check=True, capture_output=True,
+                timeout=120,
+            )
+        if os.path.exists(exe):
+            out = subprocess.run(
+                [exe], check=True, capture_output=True, text=True, timeout=300
+            ).stdout
+            return float(json.loads(out.strip().splitlines()[-1])["value"])
+    except Exception:
+        pass
+    return _RECORDED_CPU_BASELINE
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", default="ad_census")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--rows", type=int, default=375)
+    ap.add_argument("--cols", type=int, default=450)
+    ap.add_argument("--disp", type=int, default=60)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_match_traditional_tpu.models import get_pipeline
+    from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+    pipeline, cfg_cls = get_pipeline(args.pipeline)
+    kw = {}
+    for field, val in (("disp_range", args.disp), ("max_disparity", args.disp)):
+        if field in cfg_cls.__dataclass_fields__:
+            kw[field] = val
+    cfg = cfg_cls(**kw)
+
+    left, right, _ = make_pair(args.rows, args.cols, args.disp, seed=0)
+    left = jnp.asarray(left)
+    right = jnp.asarray(right)
+
+    fn = jax.jit(lambda l, r: pipeline(l, r, cfg).disp_left)
+    jax.block_until_ready(fn(left, right))  # compile
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(left, right))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+
+    mpixdisp = args.rows * args.cols * args.disp / med / 1e6
+    baseline = _cpu_baseline() if args.pipeline == "ad_census" else None
+    result = {
+        "metric": f"{args.pipeline}_throughput",
+        "value": round(mpixdisp, 2),
+        "unit": "MPixDisp/s",
+        "vs_baseline": round(mpixdisp / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

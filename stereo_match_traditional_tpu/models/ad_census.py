@@ -11,6 +11,20 @@ from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import aggregate, post, scanline, volume, wta
 
 
+def ad_census_post(disp_l, disp_r, cfg: ADCensusConfig):
+    """Dormant AD-Census post chain (`main.cpp:91-94`): LeftRightConsistency
+    -> RemoveSpeckles -> 8-direction FillTheHole -> MedianFilter."""
+    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    dmap = post.remove_speckles(
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
+    )
+    dmap = post.fill_holes_8dir(
+        dmap, lr.occlusion, lr.mismatch, post.INVALID, max_search=cfg.disp_range
+    )
+    dmap = post.median_filter(dmap, cfg.median_size, border="truncate")
+    return dmap, lr.occlusion, lr.mismatch
+
+
 def ad_census_pipeline(
     left,
     right,
@@ -69,14 +83,5 @@ def ad_census_pipeline(
     disp_final = None
     occl = mism = None
     if cfg.run_post:
-        lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
-        dmap = post.remove_speckles(
-            lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
-        )
-        dmap = post.fill_holes_8dir(
-            dmap, lr.occlusion, lr.mismatch, post.INVALID, max_search=cfg.disp_range
-        )
-        dmap = post.median_filter(dmap, cfg.median_size, border="truncate")
-        disp_final = dmap
-        occl, mism = lr.occlusion, lr.mismatch
+        disp_final, occl, mism = ad_census_post(disp_l, disp_r, cfg)
     return StereoResult(disp_l, disp_r, disp_final, occl, mism)

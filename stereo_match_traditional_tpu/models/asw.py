@@ -18,6 +18,24 @@ def _minmax_u8(x):
     return jnp.round((x - lo) * scale)
 
 
+def asw_post(disp_l, disp_r, cfg: ASWConfig):
+    """Active ASW post chain (`ASWeight.cpp:66-78`): LR check writing 0
+    (`ASW.h:108-145`) -> min-max scale to u8 (`ASWeight.cpp:69`) ->
+    `filterSpeckles(0, 40, 2)` -> `medianBlur(5)` -> `FillImageNew` ->
+    `medianBlur(3)`."""
+    lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, invalid_value=0.0)
+    d = _minmax_u8(lr.disp)
+    d = post.remove_speckles(
+        d, cfg.speckle_diff, cfg.speckle_area + 1, invalid_value=0.0
+    )
+    # OpenCV filterSpeckles removes blobs of size <= maxSpeckleSize (40);
+    # remove_speckles kills size < min_area, hence the +1 above.
+    d = post.median_filter(d, cfg.median_first, border="replicate")
+    d = post.fill_image_new(d)
+    d = post.median_filter(d, cfg.median_second, border="replicate")
+    return d
+
+
 def asw_pipeline(left, right, cfg: ASWConfig = ASWConfig()) -> StereoResult:
     """Active reference path (`ASWeight.cpp:60-78`):
 
@@ -42,15 +60,5 @@ def asw_pipeline(left, right, cfg: ASWConfig = ASWConfig()) -> StereoResult:
 
     disp_final = None
     if cfg.run_post:
-        lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, invalid_value=0.0)
-        d = _minmax_u8(lr.disp)
-        d = post.remove_speckles(
-            d, cfg.speckle_diff, cfg.speckle_area + 1, invalid_value=0.0
-        )
-        # OpenCV filterSpeckles removes blobs of size <= maxSpeckleSize (40);
-        # remove_speckles kills size < min_area, hence the +1 above.
-        d = post.median_filter(d, cfg.median_first, border="replicate")
-        d = post.fill_image_new(d)
-        d = post.median_filter(d, cfg.median_second, border="replicate")
-        disp_final = d
+        disp_final = asw_post(disp_l, disp_r, cfg)
     return StereoResult(disp_l, disp_r, disp_final)

@@ -9,6 +9,17 @@ from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import aggregate, post, volume, wta
 
 
+def cblsm_post(disp_l, disp_r, cfg: CBLSMConfig):
+    """Dormant CBLSM post chain (`CBLSM.cpp:160-162`): LR consistency ->
+    RemoveSpeckles -> MedianFilter."""
+    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    dmap = post.remove_speckles(
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
+    )
+    dmap = post.median_filter(dmap, cfg.median_size, border="truncate")
+    return dmap, lr.occlusion, lr.mismatch
+
+
 def cblsm_pipeline(left, right, cfg: CBLSMConfig = CBLSMConfig()) -> StereoResult:
     """Active path (`CBLSM.cpp:64-153`): four arms per image on the raw gray
     images (the median-blurred `armImage`s at `CBLSM.cpp:24-25` are computed
@@ -41,11 +52,5 @@ def cblsm_pipeline(left, right, cfg: CBLSMConfig = CBLSMConfig()) -> StereoResul
     disp_final = None
     occl = mism = None
     if cfg.run_post:
-        lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
-        dmap = post.remove_speckles(
-            lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
-        )
-        dmap = post.median_filter(dmap, cfg.median_size, border="truncate")
-        disp_final = dmap
-        occl, mism = lr.occlusion, lr.mismatch
+        disp_final, occl, mism = cblsm_post(disp_l, disp_r, cfg)
     return StereoResult(disp_l, disp_r, disp_final, occl, mism)

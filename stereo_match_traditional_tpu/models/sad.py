@@ -9,6 +9,24 @@ from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import post, volume, wta
 
 
+def sad_post(disp_l, disp_r, cfg: SADConfig):
+    """Dormant SAD post chain (`SADmain.cpp:68-79`): LR cross-check with
+    occlusion/mismatch classes (`Sad.h:184-222`), speckle removal
+    (`Sad.h:251-315`), 8-direction hole fill (`Sad.h:317-400`), and the
+    truncate-border median (`Sad.h:224-249`)."""
+    lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    d = post.remove_speckles(
+        lr.disp,
+        cfg.speckle_diff,
+        cfg.speckle_area,
+        invalid_value=post.INVALID,
+        background=0.0,  # Sad.h:265 skips zero-disparity seeds
+    )
+    d = post.fill_holes_8dir(d, lr.occlusion, lr.mismatch, post.INVALID)
+    d = post.median_filter(d, 3, border="truncate")
+    return d, lr.occlusion, lr.mismatch
+
+
 def sad_pipeline(left, right, cfg: SADConfig = SADConfig()) -> StereoResult:
     """Active path: 9x9 SAD volume -> uniqueness WTA, left map only
     (`SADmain.cpp:66`).  ``compute_right`` / ``run_post`` enable the dormant
@@ -29,16 +47,5 @@ def sad_pipeline(left, right, cfg: SADConfig = SADConfig()) -> StereoResult:
         vol_r = volume.sad_volume(left, right, cfg.max_disparity, cfg.winsize, "right")
         disp_r = wta.wta(vol_r, "min")
     if cfg.run_post:
-        lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, post.INVALID)
-        d = post.remove_speckles(
-            lr.disp,
-            cfg.speckle_diff,
-            cfg.speckle_area,
-            invalid_value=post.INVALID,
-            background=0.0,  # Sad.h:265 skips zero-disparity seeds
-        )
-        d = post.fill_holes_8dir(d, lr.occlusion, lr.mismatch, post.INVALID)
-        d = post.median_filter(d, 3, border="truncate")
-        disp_final = d
-        occl, mism = lr.occlusion, lr.mismatch
+        disp_final, occl, mism = sad_post(disp_l, disp_r, cfg)
     return StereoResult(disp_l, disp_r, disp_final, occl, mism)

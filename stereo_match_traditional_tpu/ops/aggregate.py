@@ -53,7 +53,12 @@ def _directional_shifts(img: jax.Array, n: int, axis: int, sign: int) -> jax.Arr
 
 
 def _arm_one_direction(
-    img: jax.Array, cfg: CrossArmConfig, axis: int, sign: int
+    img: jax.Array,
+    cfg: CrossArmConfig,
+    axis: int,
+    sign: int,
+    offset: int = 0,
+    global_size: int = None,
 ) -> jax.Array:
     """Arm length along one direction, matching the reference loop
     (`CrossArm.cpp:147-260` pattern; parameterized as `CBLSM.h:536-750`).
@@ -65,13 +70,20 @@ def _arm_one_direction(
     number of leading accepted offsets, capped at max_length; a threshold
     failure at o=1 still yields arm 1 when the pixel is >=2 pixels from the
     border (`CrossArm.cpp:186-196`).
+
+    ``offset``/``global_size`` give the tile's position inside the full
+    image along ``axis`` so a halo-extended row tile inside `shard_map`
+    applies the in-bounds and min-1 rules at the *global* borders and stays
+    bit-identical to the untiled run (parallel.tiled).
     """
     n = cfg.max_length
     h_or_w = img.shape[axis]
-    pos = jnp.arange(h_or_w)
+    if global_size is None:
+        global_size = h_or_w
+    pos = jnp.arange(h_or_w) + offset  # global coordinates along `axis`
     inb = (
         pos[None, :] + sign * jnp.arange(1, n + 1)[:, None] >= 0
-    ) & (pos[None, :] + sign * jnp.arange(1, n + 1)[:, None] <= h_or_w - 1)
+    ) & (pos[None, :] + sign * jnp.arange(1, n + 1)[:, None] <= global_size - 1)
     # broadcast in-bounds mask to [n, H, W]
     shape = [n, 1, 1]
     shape[axis + 1] = h_or_w
@@ -91,25 +103,33 @@ def _arm_one_direction(
     if sign < 0:
         border_ok = pos >= 2
     else:
-        border_ok = pos <= h_or_w - 3
+        border_ok = pos <= global_size - 3
     shape2 = [1, 1]
     shape2[axis] = h_or_w
     border_ok = border_ok.reshape(shape2)
     return jnp.where((leading == 0) & fail1 & border_ok, 1, leading).astype(jnp.int32)
 
 
-def cross_arms(img: jax.Array, cfg: CrossArmConfig) -> Arms:
+def cross_arms(
+    img: jax.Array,
+    cfg: CrossArmConfig,
+    row_offset: int = 0,
+    global_rows: int = None,
+) -> Arms:
     """All four arms for one image (gray [H,W] or color [H,W,3]).
 
     Matches `ComputeLeft/Right/Top/ButtonArmLength` (`CrossArm.cpp:147-598`)
     and the parameterized `ArmLengthL/R/Up/Down` (`CBLSM.h:536-966`), with
     the `col=_row` right-arm bug (`CrossArm.cpp:265`) fixed per SURVEY §7.
+
+    ``row_offset``/``global_rows`` position a row tile inside the full image
+    (tile-DP, parallel.tiled) so the vertical arms respect global borders.
     """
     return Arms(
         left=_arm_one_direction(img, cfg, 1, -1),
         right=_arm_one_direction(img, cfg, 1, +1),
-        up=_arm_one_direction(img, cfg, 0, -1),
-        down=_arm_one_direction(img, cfg, 0, +1),
+        up=_arm_one_direction(img, cfg, 0, -1, row_offset, global_rows),
+        down=_arm_one_direction(img, cfg, 0, +1, row_offset, global_rows),
     )
 
 
@@ -119,7 +139,12 @@ def cross_arms(img: jax.Array, cfg: CrossArmConfig) -> Arms:
 
 
 def _canonical_arm_one_direction(
-    img: jax.Array, params: CrossAggregatorParams, axis: int, sign: int
+    img: jax.Array,
+    params: CrossAggregatorParams,
+    axis: int,
+    sign: int,
+    offset: int = 0,
+    global_size: int = None,
 ) -> jax.Array:
     """Vendored-CrossAggregator arm rules (`cross_aggregator.cpp:135-269`):
 
@@ -132,10 +157,12 @@ def _canonical_arm_one_direction(
     """
     n = min(params.cross_l1, 255)
     h_or_w = img.shape[axis]
-    pos = jnp.arange(h_or_w)
+    if global_size is None:
+        global_size = h_or_w
+    pos = jnp.arange(h_or_w) + offset
     offs = jnp.arange(1, n + 1)
     inb = (pos[None, :] + sign * offs[:, None] >= 0) & (
-        pos[None, :] + sign * offs[:, None] <= h_or_w - 1
+        pos[None, :] + sign * offs[:, None] <= global_size - 1
     )
     shape = [n, 1, 1]
     shape[axis + 1] = h_or_w
@@ -156,13 +183,18 @@ def _canonical_arm_one_direction(
     return jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0).astype(jnp.int32)
 
 
-def canonical_cross_arms(img: jax.Array, params: CrossAggregatorParams) -> Arms:
+def canonical_cross_arms(
+    img: jax.Array,
+    params: CrossAggregatorParams,
+    row_offset: int = 0,
+    global_rows: int = None,
+) -> Arms:
     """Arms per the vendored Ethan-Li CrossAggregator (`cross_aggregator.cpp:76-86`)."""
     return Arms(
         left=_canonical_arm_one_direction(img, params, 1, -1),
         right=_canonical_arm_one_direction(img, params, 1, +1),
-        up=_canonical_arm_one_direction(img, params, 0, -1),
-        down=_canonical_arm_one_direction(img, params, 0, +1),
+        up=_canonical_arm_one_direction(img, params, 0, -1, row_offset, global_rows),
+        down=_canonical_arm_one_direction(img, params, 0, +1, row_offset, global_rows),
     )
 
 

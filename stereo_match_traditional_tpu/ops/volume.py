@@ -29,17 +29,23 @@ INVALID = jnp.inf
 # ---------------------------------------------------------------------------
 
 
-def shifted_stack(img: jax.Array, disp_range: int, view: str = "left") -> jax.Array:
+def shifted_stack(
+    img: jax.Array, disp_range: int, view: str = "left", d_offset: int = 0
+) -> jax.Array:
     """Stack of horizontally shifted copies: ``S[d, i, j]``.
 
     view='left':  ``S[d, i, j] = img[i, max(j - d, 0)]``   (search leftward,
     matching `SAD/Sad.h:130` / `AD-Census.h:95`).
     view='right': ``S[d, i, j] = img[i, min(j + d, W-1)]`` (mirror search,
     `SAD/Sad.h:173` / `AD-Census.h:123`).
+
+    ``d_offset`` shifts the disparity block — a disparity-sharded device
+    builds its local slice ``d in [d_offset, d_offset + disp_range)``
+    (parallel.tiled.ad_census_tile_disp).
     """
     w = img.shape[-1]
     cols = jnp.arange(w)[None, :]
-    ds = jnp.arange(disp_range)[:, None]
+    ds = jnp.arange(disp_range)[:, None] + d_offset
     if view == "left":
         idx = jnp.clip(cols - ds, 0, w - 1)  # [D, W]
     elif view == "right":
@@ -115,18 +121,25 @@ def replicate_pad(img: jax.Array, pad_r: int, pad_c: int = None) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def ad_volume(left: jax.Array, right: jax.Array, disp_range: int, view: str = "left") -> jax.Array:
+def ad_volume(
+    left: jax.Array,
+    right: jax.Array,
+    disp_range: int,
+    view: str = "left",
+    d_offset: int = 0,
+) -> jax.Array:
     """Pixelwise absolute-difference volume (`AD-Census.h:75-129`,
     `CBLSM/CBLSM.h:327-381`).
 
     The reference's previous-d copy at the border coincides exactly with the
-    clamped-column gather for a pixelwise cost, so no fill pass is needed.
+    clamped-column gather for a pixelwise cost, so no fill pass is needed —
+    which also makes any d-slice (``d_offset`` != 0) locally computable.
     """
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     if view == "left":
-        return jnp.abs(left[None] - shifted_stack(right, disp_range, "left"))
-    return jnp.abs(shifted_stack(left, disp_range, "right") - right[None])
+        return jnp.abs(left[None] - shifted_stack(right, disp_range, "left", d_offset))
+    return jnp.abs(shifted_stack(left, disp_range, "right", d_offset) - right[None])
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +179,25 @@ def sad_volume(
 # ---------------------------------------------------------------------------
 
 
+def ncc_interior_mask(
+    h: int, w: int, win_size: int, row_offset: int = 0, global_rows: int = None
+) -> jax.Array:
+    """Pixels the NCC reference actually computes (loop bounds
+    `NCC/NCC.h:72-75`); everything else keeps 0 disparity from `Mat::zeros`
+    (`NCC_main.cpp:20`).  ``row_offset``/``global_rows`` let a row tile use
+    global bounds (parallel.tiled)."""
+    if global_rows is None:
+        global_rows = h
+    rows = jnp.arange(h) + row_offset
+    cols = jnp.arange(w)
+    return (
+        (rows[:, None] >= win_size)
+        & (rows[:, None] < global_rows - win_size)
+        & (cols[None, :] >= win_size)
+        & (cols[None, :] < w - win_size)
+    )
+
+
 def ncc_volume(
     left: jax.Array,
     right: jax.Array,
@@ -173,6 +205,8 @@ def ncc_volume(
     win_size: int,
     invalid_mode: str = "ignore",
     eps: float = 1e-12,
+    row_offset: int = 0,
+    global_rows: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Normalized cross-correlation volume (`NCC/NCC.h:15-95`).
 
@@ -213,13 +247,7 @@ def ncc_volume(
     sentinel = 255.0 if invalid_mode == "sentinel" else -2.0
     vol = jnp.where(valid, ncc, sentinel)
 
-    rows = jnp.arange(h)
-    interior = (
-        (rows[:, None] >= w)
-        & (rows[:, None] < h - w)
-        & (jnp.arange(wd)[None, :] >= w)
-        & (jnp.arange(wd)[None, :] < wd - w)
-    )
+    interior = ncc_interior_mask(h, wd, w, row_offset, global_rows)
     return vol, interior
 
 
@@ -288,6 +316,9 @@ def census_volume(
     rows: int = 9,
     cols: int = 7,
     view: str = "left",
+    row_offset: int = 0,
+    global_rows: int = None,
+    d_offset: int = 0,
 ) -> jax.Array:
     """Hamming-distance census volume (`AD-Census.h:142-269`).
 
@@ -297,15 +328,15 @@ def census_volume(
     identical except inside the d > j invalid triangle (documented deviation;
     parity is checked at the bad-pixel-rate level, SURVEY.md §7).
     """
-    hi_l, lo_l = census_transform(left, rows, cols)
-    hi_r, lo_r = census_transform(right, rows, cols)
+    hi_l, lo_l = census_transform(left, rows, cols, row_offset, global_rows)
+    hi_r, lo_r = census_transform(right, rows, cols, row_offset, global_rows)
     if view == "left":
-        hi_s = shifted_stack(hi_r, disp_range, "left")
-        lo_s = shifted_stack(lo_r, disp_range, "left")
+        hi_s = shifted_stack(hi_r, disp_range, "left", d_offset)
+        lo_s = shifted_stack(lo_r, disp_range, "left", d_offset)
         ham = _popcount(hi_l[None] ^ hi_s) + _popcount(lo_l[None] ^ lo_s)
     else:
-        hi_s = shifted_stack(hi_l, disp_range, "right")
-        lo_s = shifted_stack(lo_l, disp_range, "right")
+        hi_s = shifted_stack(hi_l, disp_range, "right", d_offset)
+        lo_s = shifted_stack(lo_l, disp_range, "right", d_offset)
         ham = _popcount(hi_s ^ hi_r[None]) + _popcount(lo_s ^ lo_r[None])
     return ham.astype(jnp.float32)
 
@@ -319,11 +350,17 @@ def ad_census_volume(
     census_rows: int = 9,
     census_cols: int = 7,
     view: str = "left",
+    row_offset: int = 0,
+    global_rows: int = None,
+    d_offset: int = 0,
 ) -> jax.Array:
     """Fused AD-Census cost (`AD-Census.h:271-318`):
     ``(1 - exp(-AD/sigmaC)) + (1 - exp(-census/sigmaS))``."""
-    ad = ad_volume(left, right, disp_range, view)
-    cen = census_volume(left, right, disp_range, census_rows, census_cols, view)
+    ad = ad_volume(left, right, disp_range, view, d_offset)
+    cen = census_volume(
+        left, right, disp_range, census_rows, census_cols, view,
+        row_offset, global_rows, d_offset,
+    )
     return (1.0 - jnp.exp(-ad / sigma_c)) + (1.0 - jnp.exp(-cen / sigma_s))
 
 

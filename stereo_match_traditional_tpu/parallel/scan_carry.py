@@ -1,0 +1,74 @@
+"""Sharded 4-direction scanline optimization (the sequence-parallel slot,
+SURVEY.md §5 "long-context / sequence parallelism").
+
+The reference's recurrence (`AD-CensusV1/ScanlineOptimizer.h:130-253`) runs
+serially along each row/column.  Under row tiling the two *horizontal*
+passes are embarrassingly parallel (each device owns whole rows), while the
+two *vertical* passes would serialize across tiles.  Instead of handing
+scan carries around a `ppermute` ring (which serializes the slice), the
+volume is resharded with one `all_to_all` so each device owns whole
+*columns*, the vertical passes run fully parallel over full-height columns,
+and a second `all_to_all` restores row tiling.  Both reshards ride ICI; the
+math is identical to the unsharded scan — no carry approximation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stereo_match_traditional_tpu.config import ScanlineConfig
+from stereo_match_traditional_tpu.ops.scanline import _directional_pass
+
+
+def scanline_optimize_sharded(
+    cost: jax.Array,
+    gray: jax.Array,
+    cfg: ScanlineConfig,
+    axis_name: str,
+    true_rows: int = None,
+) -> jax.Array:
+    """4-path scanline on a row-sharded volume inside shard_map.
+
+    ``cost``: local ``[D, H_tile, W]`` (full width); ``gray``: ``[H_tile, W]``.
+    ``true_rows`` is the unpadded global row count — when the image was
+    padded to a multiple of the tile count, the vertical passes run on the
+    real rows only (so the bottom-up scan starts at the true last row,
+    matching the unsharded semantics) and the padded rows are re-appended as
+    zeros before resharding back.
+    """
+    p1, p2 = cfg.p1, cfg.p2
+    vert_dm1 = not cfg.faithful_vertical_l2
+    n = lax.axis_size(axis_name)
+    d, h_t, w = cost.shape
+    h_pad_total = h_t * n
+    if true_rows is None:
+        true_rows = h_pad_total
+
+    # --- horizontal passes: rows are local, scan over W ------------------
+    c_whd = jnp.transpose(cost, (2, 1, 0))            # [W, H_t, D]
+    g_wh = gray.astype(jnp.float32).T                 # [W, H_t]
+    lr, _ = _directional_pass(c_whd, g_wh, p1, p2, True)
+    rl, _ = _directional_pass(c_whd[::-1], g_wh[::-1], p1, p2, True)
+    horiz = jnp.transpose(lr + rl[::-1], (2, 1, 0))   # [D, H_t, W]
+
+    # --- vertical passes: reshard rows -> columns, scan over H -----------
+    pad_w = (-w) % n
+    cost_p = jnp.pad(cost, ((0, 0), (0, 0), (0, pad_w)))
+    gray_p = jnp.pad(gray.astype(jnp.float32), ((0, 0), (0, pad_w)))
+    # [D, H_t, Wp] -> [D, H, Wp/n]: every device gets all rows of its columns
+    cost_c = lax.all_to_all(cost_p, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    gray_c = lax.all_to_all(gray_p, axis_name, split_axis=1, concat_axis=0, tiled=True)
+    cost_c = cost_c[:, :true_rows]
+    gray_c = gray_c[:true_rows]
+
+    c_hwd = jnp.transpose(cost_c, (1, 2, 0))          # [H, W_t, D]
+    ud, _ = _directional_pass(c_hwd, gray_c, p1, p2, vert_dm1)
+    du, _ = _directional_pass(c_hwd[::-1], gray_c[::-1], p1, p2, vert_dm1)
+    vert = jnp.transpose(ud + du[::-1], (2, 0, 1))    # [D, H, W_t]
+
+    vert = jnp.pad(vert, ((0, 0), (0, h_pad_total - true_rows), (0, 0)))
+    # [D, H, Wp/n] -> [D, H_t, Wp] and drop the width padding
+    vert = lax.all_to_all(vert, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    return horiz + vert[:, :, :w]

@@ -1,0 +1,335 @@
+"""Tile-data-parallel pipeline execution (`shard_map` over row tiles).
+
+The reference parallelizes its outer row loops with (racy) OpenMP pragmas
+(`SAD/Sad.h:112`, SURVEY.md §2.6); here the image is split into row tiles
+across devices on a `Mesh`, each tile is extended with a halo sized to the
+pipeline's exact receptive field (:func:`receptive_field_rows`), the
+cost/aggregate/WTA stages run per tile, and the cheap [H, W] post-processing
+runs on the gathered disparity maps.  A tiled run equals the untiled run up
+to float summation order (the invariance test of SURVEY.md §4).
+
+The flagship AD-Census pipeline additionally supports a 2-D
+``('tile', 'disp')`` mesh — rows tile-data-parallel and the disparity axis
+tensor-parallel with a two-stage WTA (`parallel.wta_shard`).  The
+clamped-column gather used by the AD and census costs makes every d-shard
+locally computable (no cross-shard border fill; see `ops.volume.ad_volume`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from stereo_match_traditional_tpu import config as _cfg
+from stereo_match_traditional_tpu.models.ad_census import ad_census_post
+from stereo_match_traditional_tpu.models.asw import asw_post
+from stereo_match_traditional_tpu.models.base import StereoResult
+from stereo_match_traditional_tpu.models.cblsm import cblsm_post
+from stereo_match_traditional_tpu.models.sad import sad_post
+from stereo_match_traditional_tpu.ops import aggregate, post, volume, wta
+from stereo_match_traditional_tpu.parallel.halo import add_row_halo, crop_row_halo
+from stereo_match_traditional_tpu.parallel.scan_carry import scanline_optimize_sharded
+from stereo_match_traditional_tpu.parallel.wta_shard import wta_sharded
+
+
+def receptive_field_rows(name: str, cfg) -> int:
+    """Static per-pipeline halo calculator (SURVEY.md §7 "halo sizing").
+
+    Returns the number of neighbor rows a tile needs so its own rows are
+    computed exactly as in the untiled run.  Scanline optimization needs no
+    halo — the sharded version reshards to full-height columns instead
+    (`parallel.scan_carry`).
+    """
+    if name == "sad":
+        return cfg.winsize + 1                      # window radius, Sad.h:109
+    if name == "ncc":
+        return cfg.win_size                         # window radius, NCC.h:15
+    if name == "asw":
+        return cfg.win_size + 1                     # support radius, ASW.h:333
+    if name == "ad_census":
+        census_rf = cfg.census_rows // 2            # 4 rows, AD-Census.h:167
+        if cfg.aggregation == "rect_mean":
+            return cfg.arms.max_length * cfg.agg_iters + census_rf
+        if cfg.aggregation == "cross_two_pass":
+            return cfg.cross_params.cross_l1 * cfg.cross_params.num_iters + census_rf
+        return census_rf
+    if name == "cblsm":
+        return cfg.arms.max_length * cfg.agg_passes # AD cost has no row reach
+    raise KeyError(name)
+
+
+# ---------------------------------------------------------------------------
+# per-pipeline tile cores: (left_ext, right_ext, ctx) -> dict of [T, W] tiles
+# ---------------------------------------------------------------------------
+
+
+def _sad_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+    vol_l = volume.sad_volume(le, re, cfg.max_disparity, cfg.winsize, "left")
+    out = {
+        "disp_left": crop_row_halo(
+            wta.optimal_disparity(vol_l, cfg.uniqueness_eps, cfg.subpixel), halo, 0
+        )
+    }
+    if cfg.compute_right or cfg.run_post:
+        vol_r = volume.sad_volume(le, re, cfg.max_disparity, cfg.winsize, "right")
+        out["disp_right"] = crop_row_halo(wta.wta(vol_r, "min"), halo, 0)
+    return out
+
+
+def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+    vol, interior = volume.ncc_volume(
+        le, re, cfg.disp_range, cfg.win_size, cfg.invalid_mode, cfg.eps,
+        row_offset=ro_ext, global_rows=rows,
+    )
+    vol = jnp.where(jnp.isnan(vol), -2.0, vol)
+    disp = jnp.where(interior, wta.wta(vol, "max"), 0.0)
+    return {"disp_left": crop_row_halo(disp, halo, 0)}
+
+
+def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+    kw = dict(
+        disp_range=cfg.disp_range,
+        win_size=cfg.win_size,
+        space_sigma=cfg.space_sigma,
+        color_sigma=cfg.color_sigma,
+        truncation=cfg.truncation,
+    )
+    disp_l = wta.wta(volume.asw_volume(le, re, **kw), "min")
+    disp_r = wta.wta(volume.asw_volume_right(le, re, **kw), "min")
+    return {
+        "disp_left": crop_row_halo(disp_l, halo, 0),
+        "disp_right": crop_row_halo(disp_r, halo, 0),
+    }
+
+
+def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+    d = cfg.disp_range
+    vol_l = volume.ad_census_volume(
+        le, re, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols,
+        "left", ro_ext, rows,
+    )
+    vol_r = volume.ad_census_volume(
+        le, re, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols,
+        "right", ro_ext, rows,
+    )
+    if cfg.aggregation == "rect_mean":
+        arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, rows)
+        arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, rows)
+        agg_l, agg_r = vol_l, vol_r
+        for _ in range(cfg.agg_iters):
+            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
+            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
+    elif cfg.aggregation == "cross_two_pass":
+        arms_l = aggregate.canonical_cross_arms(le, cfg.cross_params, ro_ext, rows)
+        arms_r = aggregate.canonical_cross_arms(re, cfg.cross_params, ro_ext, rows)
+        agg_l = aggregate.cross_aggregate(vol_l, arms_l, cfg.cross_params.num_iters)
+        agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters)
+    else:
+        agg_l, agg_r = vol_l, vol_r
+
+    agg_l = crop_row_halo(agg_l, halo, 1)
+    agg_r = crop_row_halo(agg_r, halo, 1)
+
+    if cfg.scanline is not None:
+        gray_tile = crop_row_halo(le, halo, 0)
+        agg_l = scanline_optimize_sharded(
+            agg_l, gray_tile, cfg.scanline, axis_name, true_rows
+        )
+    return {
+        "disp_left": wta.wta(agg_l, "min"),
+        "disp_right": wta.wta(agg_r, "min"),
+    }
+
+
+def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+    d = cfg.disp_range
+    arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, rows)
+    arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, rows)
+    vol_l = volume.ad_volume(le, re, d, "left")
+    vol_r = volume.ad_volume(le, re, d, "right")
+    agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
+    agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
+    for _ in range(cfg.agg_passes - 1):
+        agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
+        agg_r = aggregate.rect_mean_aggregate(
+            agg_r, arms_l if cfg.second_pass_left_arms else arms_r
+        )
+    return {
+        "disp_left": crop_row_halo(wta.wta(agg_l, "min"), halo, 0),
+        "disp_right": crop_row_halo(wta.wta(agg_r, "min"), halo, 0),
+    }
+
+
+_TILE_CORES = {
+    "sad": _sad_tile,
+    "ncc": _ncc_tile,
+    "asw": _asw_tile,
+    "ad_census": _ad_census_tile,
+    "cblsm": _cblsm_tile,
+}
+
+_POST = {
+    "sad": lambda dl, dr, cfg: sad_post(dl, dr, cfg),
+    "asw": lambda dl, dr, cfg: (asw_post(dl, dr, cfg), None, None),
+    "ad_census": lambda dl, dr, cfg: ad_census_post(dl, dr, cfg),
+    "cblsm": lambda dl, dr, cfg: cblsm_post(dl, dr, cfg),
+}
+
+
+def tiled_pipeline(name: str, cfg, mesh: Mesh, axis_name: str = "tile"):
+    """Build a jittable ``(left, right) -> StereoResult`` running ``name``
+    tile-data-parallel over ``mesh[axis_name]``.
+
+    Rows are padded (edge-replicate) to a tile multiple; cost/aggregation/WTA
+    run per tile under `shard_map` with exact halos; post-processing (when
+    the pipeline config enables it) runs on the gathered full maps — its
+    stages (speckle CC labeling, 8-direction fills) have image-global
+    receptive fields, and at [H, W] it is cheap relative to the [D, H, W]
+    volume stages.
+    """
+    core = _TILE_CORES[name]
+    halo = receptive_field_rows(name, cfg)
+    n = mesh.shape[axis_name]
+
+    def run(left, right):
+        h, w = left.shape[:2]
+        h_pad = -(-h // n) * n
+        t = h_pad // n
+        pad = [(0, h_pad - h)] + [(0, 0)] * (left.ndim - 1)
+        lp = jnp.pad(left, pad, mode="edge")
+        rp = jnp.pad(right, pad, mode="edge")
+
+        spec = P(axis_name, *([None] * (left.ndim - 1)))
+        out_spec = P(axis_name, None)
+
+        def tile_fn(lt, rt):
+            idx = lax.axis_index(axis_name)
+            ro_ext = idx * t - halo  # global row of the first extended row
+            le = add_row_halo(lt, halo, axis_name)
+            re = add_row_halo(rt, halo, axis_name)
+            return core(le, re, cfg, ro_ext, h, halo, axis_name, h)
+
+        sharded = jax.shard_map(
+            tile_fn,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=out_spec,
+            check_vma=False,
+        )
+        tiles = sharded(lp, rp)
+        disp_l = tiles["disp_left"][:h]
+        disp_r = tiles.get("disp_right")
+        if disp_r is not None:
+            disp_r = disp_r[:h]
+
+        disp_final = occl = mism = None
+        if getattr(cfg, "run_post", False) and name in _POST:
+            disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)
+        return StereoResult(disp_l, disp_r, disp_final, occl, mism)
+
+    return run
+
+
+def run_tiled(
+    name: str,
+    left,
+    right,
+    cfg=None,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "tile",
+) -> StereoResult:
+    """One-shot convenience wrapper around :func:`tiled_pipeline`."""
+    if cfg is None:
+        from stereo_match_traditional_tpu.models.registry import get_pipeline
+
+        cfg = get_pipeline(name)[1]()
+    if mesh is None:
+        from stereo_match_traditional_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=(axis_name,))
+    fn = jax.jit(tiled_pipeline(name, cfg, mesh, axis_name))
+    return fn(jnp.asarray(left), jnp.asarray(right))
+
+
+# ---------------------------------------------------------------------------
+# 2-D (tile x disp) flagship: rows data-parallel, disparity tensor-parallel
+# ---------------------------------------------------------------------------
+
+
+def ad_census_tile_disp(
+    cfg: _cfg.ADCensusConfig, mesh: Mesh, tile_axis: str = "tile", disp_axis: str = "disp"
+):
+    """AD-Census over a 2-D mesh: rows sharded over ``tile_axis`` (halo
+    exchange) and the disparity range sharded over ``disp_axis`` (each
+    device builds its d-slice of the fused volume via the clamped-column
+    gather, aggregates it independently — rectangle means are per-d-slice —
+    and WTA combines with a two-stage `pmin`, `parallel.wta_shard`).
+
+    Scanline optimization couples d±1 and is not supported with a sharded
+    disparity axis (assert below); keep ``cfg.scanline=None`` here or use
+    :func:`tiled_pipeline` with a 1-D mesh.
+    """
+    assert cfg.scanline is None, "scanline couples d±1; use the 1-D tile mesh"
+    halo = receptive_field_rows("ad_census", cfg)
+    n_t = mesh.shape[tile_axis]
+    n_d = mesh.shape[disp_axis]
+    assert cfg.disp_range % n_d == 0, "disp_range must divide over the disp axis"
+    d_local = cfg.disp_range // n_d
+
+    def run(left, right):
+        h, w = left.shape
+        h_pad = -(-h // n_t) * n_t
+        t = h_pad // n_t
+        lp = jnp.pad(left, ((0, h_pad - h), (0, 0)), mode="edge")
+        rp = jnp.pad(right, ((0, h_pad - h), (0, 0)), mode="edge")
+
+        def tile_fn(lt, rt):
+            idx_t = lax.axis_index(tile_axis)
+            idx_d = lax.axis_index(disp_axis)
+            ro_ext = idx_t * t - halo
+            d_off = idx_d * d_local
+            le = add_row_halo(lt, halo, tile_axis)
+            re = add_row_halo(rt, halo, tile_axis)
+
+            vol_l = volume.ad_census_volume(
+                le, re, d_local, cfg.sigma_c, cfg.sigma_s,
+                cfg.census_rows, cfg.census_cols, "left", ro_ext, h, d_offset=d_off,
+            )
+            vol_r = volume.ad_census_volume(
+                le, re, d_local, cfg.sigma_c, cfg.sigma_s,
+                cfg.census_rows, cfg.census_cols, "right", ro_ext, h, d_offset=d_off,
+            )
+            arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, h)
+            arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, h)
+            for _ in range(cfg.agg_iters):
+                vol_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
+                vol_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
+            vol_l = crop_row_halo(vol_l, halo, 1)
+            vol_r = crop_row_halo(vol_r, halo, 1)
+            return {
+                "disp_left": wta_sharded(vol_l, disp_axis, "min"),
+                "disp_right": wta_sharded(vol_r, disp_axis, "min"),
+            }
+
+        sharded = jax.shard_map(
+            tile_fn,
+            mesh=mesh,
+            in_specs=(P(tile_axis, None), P(tile_axis, None)),
+            out_specs=P(tile_axis, None),
+            check_vma=False,
+        )
+        tiles = sharded(lp, rp)
+        disp_l = tiles["disp_left"][:h]
+        disp_r = tiles["disp_right"][:h]
+        disp_final = occl = mism = None
+        if cfg.run_post:
+            disp_final, occl, mism = ad_census_post(disp_l, disp_r, cfg)
+        return StereoResult(disp_l, disp_r, disp_final, occl, mism)
+
+    return run

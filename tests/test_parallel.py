@@ -1,0 +1,219 @@
+"""Multi-device tests on the 8-device CPU mesh (SURVEY.md §4).
+
+The single most important distributed test: tiled (N-device) == untiled
+(1-device) for every pipeline — proving halo widths, global-border
+coordinates, sharded WTA and the scanline reshard correct.  Equality is
+checked on disparity maps; cost sums may differ in the last ulp between
+tilings (different float summation orders), so a vanishing mismatch
+fraction is allowed where aggregation is involved.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from stereo_match_traditional_tpu import config as cfgs
+from stereo_match_traditional_tpu.models import get_pipeline
+from stereo_match_traditional_tpu.ops import volume, wta
+from stereo_match_traditional_tpu.parallel import (
+    add_row_halo,
+    make_mesh,
+    run_tiled,
+    scanline_optimize_sharded,
+    wta_sharded,
+)
+from stereo_match_traditional_tpu.parallel.tiled import ad_census_tile_disp
+from stereo_match_traditional_tpu.parallel.wta_shard import optimal_disparity_sharded
+from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+
+def _mismatch_fraction(a, b, ignore_cols: int = 0):
+    """Fraction of differing pixels; ``ignore_cols`` drops a strip at each
+    vertical edge where the clamp triangle duplicates costs exactly and
+    argmin ties flip with float summation order (disparity there is
+    ill-defined in the reference too — all candidates index off-image)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if ignore_cols:
+        a = a[:, ignore_cols:-ignore_cols]
+        b = b[:, ignore_cols:-ignore_cols]
+    return float(np.mean(a != b))
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_add_row_halo_multi_hop():
+    """Halo larger than the tile: gathered rows equal the edge-replicated
+    global image."""
+    mesh = make_mesh(8, ("tile",))
+    h, w, halo = 24, 8, 7  # tile height 3 < halo 7 -> 3 hops
+    x = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w)
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda t: add_row_halo(t, halo, "tile"),
+            mesh=mesh,
+            in_specs=P("tile", None),
+            out_specs=P("tile", None),
+            check_vma=False,
+        )
+    )
+    out = np.asarray(fn(x)).reshape(8, 3 + 2 * halo, w)
+    xp = np.pad(np.asarray(x), ((halo, halo), (0, 0)), mode="edge")
+    for i in range(8):
+        np.testing.assert_array_equal(out[i], xp[i * 3 : i * 3 + 3 + 2 * halo])
+
+
+def test_wta_sharded_matches_argmin():
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((16, 9, 11)).astype(np.float32)
+    mesh = make_mesh(8, ("disp",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda v: wta_sharded(v, "disp", "min"),
+            mesh=mesh,
+            in_specs=P("disp", None, None),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    got = np.asarray(fn(vol))
+    np.testing.assert_array_equal(got, np.argmin(vol, axis=0).astype(np.float32))
+
+
+def test_wta_sharded_tie_breaks_low():
+    vol = np.ones((8, 4, 5), np.float32)
+    mesh = make_mesh(8, ("disp",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda v: wta_sharded(v, "disp", "min"),
+            mesh=mesh,
+            in_specs=P("disp", None, None),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(fn(vol)), np.zeros((4, 5), np.float32))
+
+
+def test_optimal_disparity_sharded_matches():
+    rng = np.random.default_rng(3)
+    vol = (rng.random((16, 7, 9)) * 100).astype(np.float32)
+    want = np.asarray(wta.optimal_disparity(jnp.asarray(vol), 0.01, False))
+    mesh = make_mesh(8, ("disp",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda v: optimal_disparity_sharded(v, "disp", 0.01, False, disp_range=16),
+            mesh=mesh,
+            in_specs=P("disp", None, None),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(fn(vol)), want)
+
+
+def test_scanline_sharded_matches_unsharded():
+    from stereo_match_traditional_tpu.ops.scanline import scanline_optimize
+
+    L, R, _ = make_pair(40, 52, 8, seed=7)
+    cost = volume.ad_volume(L, R, 8, "left")
+    cfg = cfgs.ScanlineConfig(p1=10.0, p2=150.0)
+    want = np.asarray(scanline_optimize(cost, jnp.asarray(L), cfg))
+
+    mesh = make_mesh(8, ("tile",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda c, g: scanline_optimize_sharded(c, g, cfg, "tile", true_rows=40),
+            mesh=mesh,
+            in_specs=(P(None, "tile", None), P("tile", None)),
+            out_specs=P(None, "tile", None),
+            check_vma=False,
+        )
+    )
+    got = np.asarray(fn(cost, jnp.asarray(L).astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "name,cfg,exact",
+    [
+        ("sad", cfgs.SADConfig(max_disparity=10, winsize=1), False),
+        ("ncc", cfgs.NCCConfig(disp_range=10, win_size=3), False),
+        (
+            "asw",
+            cfgs.ASWConfig(disp_range=10, win_size=2, run_post=True),
+            False,
+        ),
+        ("ad_census", cfgs.ADCensusConfig(disp_range=10), False),
+        ("cblsm", cfgs.CBLSMConfig(disp_range=10), False),
+    ],
+)
+def test_tiled_matches_untiled(name, cfg, exact):
+    """THE invariance test: 8-device row tiling == single-device run."""
+    L, R, _ = make_pair(48, 64, 10, seed=1)
+    fn, _ = get_pipeline(name)
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    mesh = make_mesh(8, ("tile",))
+    got = run_tiled(name, L, R, cfg, mesh)
+
+    d_range = getattr(cfg, "disp_range", getattr(cfg, "max_disparity", 0))
+    for field in ("disp_left", "disp_right", "disp_final"):
+        w = getattr(want, field)
+        g = getattr(got, field)
+        assert (w is None) == (g is None), field
+        if w is None:
+            continue
+        frac = _mismatch_fraction(g, w, ignore_cols=d_range)
+        if exact:
+            assert frac == 0.0, (field, frac)
+        else:
+            # float-sum-order argmin flips only on near-exact cost ties
+            assert frac <= 5e-3, (field, frac)
+
+
+def test_tiled_ad_census_with_scanline_and_post():
+    cfg = cfgs.ADCensusConfig(
+        disp_range=10, scanline=cfgs.ScanlineConfig(), run_post=True
+    )
+    L, R, _ = make_pair(48, 64, 10, seed=2)
+    fn, _ = get_pipeline("ad_census")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    mesh = make_mesh(8, ("tile",))
+    got = run_tiled("ad_census", L, R, cfg, mesh)
+    assert _mismatch_fraction(got.disp_left, want.disp_left) <= 5e-3
+    w = np.asarray(want.disp_final)
+    g = np.asarray(got.disp_final)
+    both = np.isfinite(w) & np.isfinite(g)
+    assert float(np.mean(np.isfinite(w) != np.isfinite(g))) <= 1e-2
+    assert float(np.mean(np.abs(w[both] - g[both]) > 1e-3)) <= 1e-2
+
+
+def test_ad_census_tile_disp_2d_mesh():
+    """Rows x disparity 2-D mesh equals the single-device pipeline."""
+    cfg = cfgs.ADCensusConfig(disp_range=16)
+    L, R, _ = make_pair(48, 64, 12, seed=4)
+    fn, _ = get_pipeline("ad_census")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    mesh = make_mesh(8, ("tile", "disp"), (4, 2))
+    run = jax.jit(ad_census_tile_disp(cfg, mesh))
+    got = run(jnp.asarray(L), jnp.asarray(R))
+    assert _mismatch_fraction(got.disp_left, want.disp_left, ignore_cols=16) <= 5e-3
+    assert _mismatch_fraction(got.disp_right, want.disp_right, ignore_cols=16) <= 5e-3
+
+
+def test_tiled_deterministic_across_runs():
+    """Determinism property (SURVEY.md §5: replaces the reference's OpenMP
+    races): identical inputs -> identical tiled outputs, twice."""
+    cfg = cfgs.CBLSMConfig(disp_range=8)
+    L, R, _ = make_pair(32, 48, 8, seed=9)
+    mesh = make_mesh(8, ("tile",))
+    a = run_tiled("cblsm", L, R, cfg, mesh)
+    b = run_tiled("cblsm", L, R, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(a.disp_left), np.asarray(b.disp_left))
