@@ -19,7 +19,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
@@ -74,18 +73,13 @@ def main() -> None:
     left = jnp.asarray(left)
     right = jnp.asarray(right)
 
-    fn = jax.jit(lambda l, r: pipeline(l, r, cfg).disp_left)
-    jax.block_until_ready(fn(left, right))  # compile
+    # device_time loops the pipeline on-device inside one jit and
+    # differences two iteration counts — naive block_until_ready timing
+    # only measures the ~30 ms dispatch relay round trip here.
+    from stereo_match_traditional_tpu.utils.benchmark import device_time
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(left, right))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    med = times[len(times) // 2]
-
-    mpixdisp = args.rows * args.cols * args.disp / med / 1e6
+    sec = device_time(lambda l, r: pipeline(l, r, cfg).disp_left, (left, right))
+    mpixdisp = args.rows * args.cols * args.disp / sec / 1e6
     baseline = _cpu_baseline() if args.pipeline == "ad_census" else None
     result = {
         "metric": f"{args.pipeline}_throughput",

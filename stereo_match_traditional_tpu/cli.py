@@ -1,0 +1,177 @@
+"""Unified command-line entry point (SURVEY.md §5 "Config / flag system").
+
+The reference has five hard-coded `main()`s with magic constants
+(`SAD/SADmain.cpp:24-99` et al.); this is the single `stereo` driver:
+
+    python -m stereo_match_traditional_tpu.cli run ad_census \
+        --left im2.png --right im6.png --out disp.png --disp-range 60
+    python -m stereo_match_traditional_tpu.cli run asw --synthetic 375x450 \
+        --save-stages /tmp/stages
+    python -m stereo_match_traditional_tpu.cli bench --pipeline sad
+    python -m stereo_match_traditional_tpu.cli info
+
+Any config dataclass field can be overridden with ``--set field=value``
+(repeatable); defaults are the reference driver constants (config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _parse_set(cfg_cls, overrides):
+    fields = {f.name: f for f in dataclasses.fields(cfg_cls)}
+    kw = {}
+    for item in overrides or []:
+        if "=" not in item:
+            raise SystemExit(f"--set expects field=value, got {item!r}")
+        key, val = item.split("=", 1)
+        if key not in fields:
+            raise SystemExit(
+                f"unknown config field {key!r} for {cfg_cls.__name__}; "
+                f"have {sorted(fields)}"
+            )
+        typ = fields[key].type
+        if val.lower() in ("true", "false"):
+            kw[key] = val.lower() == "true"
+        elif "int" in str(typ):
+            kw[key] = int(val)
+        elif "float" in str(typ):
+            kw[key] = float(val)
+        else:
+            kw[key] = val
+    return kw
+
+
+def _load_pair(args):
+    import numpy as np
+
+    from stereo_match_traditional_tpu.utils import io as io_utils
+    from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+    if args.synthetic:
+        h, w = (int(x) for x in args.synthetic.split("x"))
+        left, right, gt = make_pair(h, w, args.disp_range or 60, seed=args.seed)
+        return left, right, gt
+    if not (args.left and args.right):
+        raise SystemExit("provide --left/--right image paths or --synthetic HxW")
+    left = io_utils.rgb_to_gray_u8(io_utils.imread(args.left))
+    right = io_utils.rgb_to_gray_u8(io_utils.imread(args.right))
+    return left, right, None
+
+
+def cmd_run(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereo_match_traditional_tpu.models import get_pipeline
+    from stereo_match_traditional_tpu.utils import io as io_utils
+    from stereo_match_traditional_tpu.utils.profiling import StageTimer
+
+    pipeline, cfg_cls = get_pipeline(args.pipeline)
+    kw = _parse_set(cfg_cls, args.set)
+    if args.disp_range is not None:
+        for field in ("disp_range", "max_disparity"):
+            if field in {f.name for f in dataclasses.fields(cfg_cls)}:
+                kw.setdefault(field, args.disp_range)
+    cfg = cfg_cls(**kw)
+
+    left, right, gt = _load_pair(args)
+
+    timer = StageTimer()
+    with timer.stage("pipeline"):
+        res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+        disp = np.asarray(
+            res.disp_final if res.disp_final is not None else res.disp_left
+        )
+
+    if args.save_stages:
+        from stereo_match_traditional_tpu.utils.checkpoint import save_result
+
+        save_result(args.save_stages, res, meta={"pipeline": args.pipeline})
+        print(f"stages -> {args.save_stages}", file=sys.stderr)
+
+    if args.out:
+        io_utils.imwrite(args.out, io_utils.normalize_u8(disp))
+        print(f"disparity -> {args.out}", file=sys.stderr)
+
+    summary = {
+        "pipeline": args.pipeline,
+        "shape": list(disp.shape),
+        "finite_fraction": float(np.isfinite(disp).mean()),
+        "disp_min": float(np.nanmin(np.where(np.isfinite(disp), disp, np.nan))),
+        "disp_max": float(np.nanmax(np.where(np.isfinite(disp), disp, np.nan))),
+    }
+    if gt is not None:
+        from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
+
+        summary["bad_2.0"] = round(bad_pixel_rate(disp, gt), 4)
+    summary.update(json.loads(timer.report()))
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py", "--pipeline", args.pipeline]
+    return subprocess.call(cmd)
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from stereo_match_traditional_tpu import __version__
+    from stereo_match_traditional_tpu.models import PIPELINES
+
+    info = {
+        "version": __version__,
+        "pipelines": sorted(PIPELINES),
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="stereo", description=__doc__)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (this container pins a TPU otherwise)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run a stereo pipeline on an image pair")
+    run.add_argument("pipeline")
+    run.add_argument("--left")
+    run.add_argument("--right")
+    run.add_argument("--out")
+    run.add_argument("--synthetic", help="HxW procedural pair with ground truth")
+    run.add_argument("--seed", type=int, default=0)
+    run.add_argument("--disp-range", type=int, default=None)
+    run.add_argument("--set", action="append", metavar="FIELD=VALUE")
+    run.add_argument("--save-stages", metavar="DIR")
+    run.set_defaults(func=cmd_run)
+
+    bench = sub.add_parser("bench", help="run the throughput harness")
+    bench.add_argument("--pipeline", default="ad_census")
+    bench.set_defaults(func=cmd_bench)
+
+    info = sub.add_parser("info", help="print framework/device info")
+    info.set_defaults(func=cmd_info)
+
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

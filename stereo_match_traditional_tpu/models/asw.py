@@ -53,8 +53,19 @@ def asw_pipeline(left, right, cfg: ASWConfig = ASWConfig()) -> StereoResult:
         color_sigma=cfg.color_sigma,
         truncation=cfg.truncation,
     )
-    vol_l = volume.asw_volume(left, right, **kw)
-    vol_r = volume.asw_volume_right(left, right, **kw)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
+
+        vol_l = asw_volume_pallas(left, right, view="left", **kw)
+        vol_r = asw_volume_pallas(left, right, view="right", **kw)
+    else:
+        vol_l = volume.asw_volume(left, right, **kw)
+        vol_r = volume.asw_volume_right(left, right, **kw)
     disp_l = wta.wta(vol_l, "min")
     disp_r = wta.wta(vol_r, "min")
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from stereo_match_traditional_tpu.config import ScanlineConfig
 
-_BIG = jnp.float32(jnp.inf)
+_BIG = float("inf")  # python float: no device work at import time
 
 
 def _directional_pass(

@@ -1,0 +1,92 @@
+"""CLI, checkpointing, profiling and benchmark-utility tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stereo_match_traditional_tpu.models.base import StereoResult
+from stereo_match_traditional_tpu.utils import checkpoint
+from stereo_match_traditional_tpu.utils.profiling import StageTimer
+
+
+def test_cli_run_synthetic(tmp_path, capsys):
+    from stereo_match_traditional_tpu import cli
+
+    out = tmp_path / "disp.png"
+    stages = tmp_path / "stages"
+    rc = cli.main(
+        [
+            "run", "sad", "--synthetic", "48x64", "--disp-range", "10",
+            "--out", str(out), "--save-stages", str(stages),
+        ]
+    )
+    assert rc == 0
+    assert out.exists()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shape"] == [48, 64]
+    assert summary["bad_2.0"] < 0.3
+    assert (stages / "manifest.json").exists()
+
+
+def test_cli_set_overrides(capsys):
+    from stereo_match_traditional_tpu import cli
+
+    rc = cli.main(
+        [
+            "run", "sad", "--synthetic", "32x48", "--disp-range", "8",
+            "--set", "winsize=1", "--set", "subpixel=true",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shape"] == [32, 48]
+
+
+def test_cli_unknown_field_errors():
+    from stereo_match_traditional_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["run", "sad", "--synthetic", "16x32", "--set", "bogus=1"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    res = StereoResult(
+        disp_left=np.arange(12.0).reshape(3, 4),
+        disp_right=np.ones((3, 4)),
+        disp_final=None,
+        occlusion=np.zeros((3, 4), bool),
+        mismatch=None,
+    )
+    d = str(tmp_path / "ckpt")
+    checkpoint.save_result(d, res, meta={"pipeline": "test"})
+    loaded = checkpoint.load_result(d)
+    np.testing.assert_array_equal(loaded.disp_left, res.disp_left)
+    np.testing.assert_array_equal(loaded.occlusion, res.occlusion)
+    assert loaded.disp_final is None
+    assert loaded.mismatch is None
+    assert checkpoint.has_stage(d, "disp_left")
+    assert not checkpoint.has_stage(d, "disp_final")
+
+
+def test_stage_timer_reports_json():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = json.loads(t.report())
+    assert set(rep["stages_ms"]) == {"a", "b"}
+
+
+def test_device_time_sane_on_cpu():
+    import jax.numpy as jnp
+
+    from stereo_match_traditional_tpu.utils.benchmark import device_time
+
+    x = jnp.ones((64, 128), jnp.float32)
+    t = device_time(lambda a: a * 2.0 + 1.0, (x,), n_lo=1, n_hi=64, reps=2)
+    assert 0 < t < 0.1
