@@ -56,6 +56,12 @@ class NCCConfig:
     win_size: int = 10               # NCC_main.cpp:17 (radius; window 21x21)
     invalid_mode: str = "ignore"     # 'ignore' | 'sentinel'
     eps: float = 1e-12               # guard for zero-variance windows
+    variant: str = "window"          # 'window' (active, NCC.h:69-95) |
+                                     # 'shifted' (dormant alt impl, NCC.h:117-272)
+    alt_max_offset: int = 79         # NCC.h:121
+    alt_kernel: int = 5              # NCC.h:122 (11x11 truncated window)
+    alt_add_constant: bool = False   # NCC.h:128-131
+    alt_depth_scale: int = 3         # NCC.h:262 (display scaling)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +87,10 @@ class ASWConfig:
     use_pallas: Optional[bool] = None  # None = auto (Pallas kernel on TPU,
                                      # jnp scan elsewhere); the kernel is
                                      # ~2.8x faster on-chip (kernels/asw_pallas)
+    variant: str = "bilateral"       # 'bilateral' (active) | 'lab' (dormant
+                                     # Yoon-Kweon Lab weights, ASW.h:49-175;
+                                     # requires Lab images at call time)
+    lab_faithful_lut: bool = False   # reproduce the int((L+A+B)/3) LUT quirk
 
     @property
     def radius(self) -> int:
@@ -186,6 +196,19 @@ class CBLSMConfig:
 
     disp_range: int = 60             # CBLSM.cpp:29
     win_size: int = 1                # CBLSM.cpp:28
+    cost: str = "ad"                 # 'ad' (active, CBLSM.h:327-381) |
+                                     # 'sad_mean' (dormant ComputeDispLeft/Right,
+                                     # CBLSM.h:409-489) | 'sad_mean_v4' (dormant
+                                     # color min-channel, CBLSM.h:494-532;
+                                     # needs color inputs) | 'local_mean'
+                                     # (dormant costAggregation, CBLSM.h:1048-1085)
+    aggregation: str = "rect_mean"   # 'rect_mean' (active costAggregationV5) |
+                                     # 'rect_mean_v4' (dormant disparity-
+                                     # conditioned arm volumes, CBLSM.h:1128-1176)
+                                     # | 'cross_two_pass' (vendored
+                                     # CrossAggregator, CBLSM.cpp:138-143) |
+                                     # 'none'
+    cross_params: CrossAggregatorParams = CrossAggregatorParams()
     arms: CrossArmConfig = CrossArmConfig(tao1=25)   # CBLSM.cpp:30-32
     arm_prefilter_median: int = 3    # CBLSM.cpp:24-25 medianBlur(3)... arms
                                      # are computed on the *unfiltered* gray

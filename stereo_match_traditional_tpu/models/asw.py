@@ -36,7 +36,9 @@ def asw_post(disp_l, disp_r, cfg: ASWConfig):
     return d
 
 
-def asw_pipeline(left, right, cfg: ASWConfig = ASWConfig()) -> StereoResult:
+def asw_pipeline(
+    left, right, cfg: ASWConfig = ASWConfig(), left_lab=None, right_lab=None
+) -> StereoResult:
     """Active reference path (`ASWeight.cpp:60-78`):
 
     25x25 bilateral-weight truncated-AD volumes L+R -> WTA -> LR check
@@ -53,6 +55,29 @@ def asw_pipeline(left, right, cfg: ASWConfig = ASWConfig()) -> StereoResult:
         color_sigma=cfg.color_sigma,
         truncation=cfg.truncation,
     )
+    if cfg.variant == "lab":
+        # dormant Yoon-Kweon Lab-weight variant (`ASW/ASW.h:49-175`); the
+        # driver would convert the color pair with cvtColor(CV_BGR2Lab)
+        # (`ASWeight.cpp:33-34`, see utils.io.rgb_to_lab_u8)
+        if left_lab is None or right_lab is None:
+            raise ValueError("variant='lab' needs left_lab/right_lab images")
+        vol_l = volume.asw_lab_volume(
+            left, right, left_lab, right_lab, faithful_lut=cfg.lab_faithful_lut, **kw
+        )
+        # mirror identity for the right view (flip images and Lab pair)
+        vol_r = volume.asw_lab_volume(
+            jnp.asarray(right)[:, ::-1],
+            jnp.asarray(left)[:, ::-1],
+            jnp.asarray(right_lab)[:, ::-1],
+            jnp.asarray(left_lab)[:, ::-1],
+            faithful_lut=cfg.lab_faithful_lut,
+            **kw,
+        )[:, :, ::-1]
+        disp_l = wta.wta(vol_l, "min")
+        disp_r = wta.wta(vol_r, "min")
+        disp_final = asw_post(disp_l, disp_r, cfg) if cfg.run_post else None
+        return StereoResult(disp_l, disp_r, disp_final)
+
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         import jax

@@ -14,7 +14,17 @@ def ncc_pipeline(left, right, cfg: NCCConfig = NCCConfig()) -> StereoResult:
 
     Border pixels outside the loop range (`NCC.h:72-75`) keep 0 disparity
     (the `Mat::zeros` init at `NCC_main.cpp:20`).
+
+    ``cfg.variant='shifted'`` runs the dormant whole-image shifted-NCC
+    alternative (`NCC.h:117-272`, disabled at `NCC_main.cpp:24`) whose
+    output is the display-scaled depth ``best_offset * 3``.
     """
+    if cfg.variant == "shifted":
+        depth = volume.ncc_shifted_depth(
+            left, right, cfg.alt_max_offset, cfg.alt_kernel, "left",
+            cfg.alt_add_constant, cfg.alt_depth_scale,
+        )
+        return StereoResult(depth)
     vol, interior = volume.ncc_volume(
         left, right, cfg.disp_range, cfg.win_size, cfg.invalid_mode, cfg.eps
     )

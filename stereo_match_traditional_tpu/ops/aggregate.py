@@ -305,6 +305,118 @@ def cross_aggregate(
     return out
 
 
+def rect_mean_aggregate_volume(
+    vol: jax.Array,
+    arm_left: jax.Array,
+    arm_right: jax.Array,
+    arm_up: jax.Array,
+    arm_down: jax.Array,
+    inclusive: bool = False,
+) -> jax.Array:
+    """Rectangle-mean aggregation with *disparity-conditioned* arm volumes
+    (`costAggregationV4`, `CBLSM.h:1128-1176`, dormant at `CBLSM.cpp:111`).
+
+    Arms are int32 ``[D, H, W]`` (from :func:`cblsm_arm_volumes`); V4 uses
+    exclusive upper bounds ``[-up, down) x [-L, R)`` (`CBLSM.h:1162-1169`).
+    The reference reads out of bounds for border pixels and divides by zero
+    when a region is empty; here indices clamp and empty regions keep the
+    centre cost (intended semantics per SURVEY.md §7).
+    """
+    d, h, w = vol.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (d, h, w), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (d, h, w), 2)
+    if inclusive:
+        i0, i1 = ii - arm_up, ii + arm_down
+        j0, j1 = jj - arm_left, jj + arm_right
+        count = (arm_up + arm_down + 1) * (arm_left + arm_right + 1)
+    else:
+        i0, i1 = ii - arm_up, ii + arm_down - 1
+        j0, j1 = jj - arm_left, jj + arm_right - 1
+        count = (arm_up + arm_down) * (arm_left + arm_right)
+    i0 = jnp.clip(i0, 0, h - 1)
+    i1 = jnp.clip(i1, 0, h - 1)
+    j0 = jnp.clip(j0, 0, w - 1)
+    j1 = jnp.clip(j1, 0, w - 1)
+    sat = _sat(vol)  # [D, H+1, W+1]
+    dd = jax.lax.broadcasted_iota(jnp.int32, (d, h, w), 0)
+    def g(i, j):
+        return sat[dd, i, j]
+    total = g(i1 + 1, j1 + 1) - g(i0, j1 + 1) - g(i1 + 1, j0) + g(i0, j0)
+    mean = total / jnp.maximum(count, 1).astype(vol.dtype)
+    return jnp.where(count > 0, mean, vol)
+
+
+def _arm_region_mean(img: jax.Array, up, down, left, right, col_shift) -> jax.Array:
+    """Mean of ``img`` over rows [i-up, i+down] x cols [j-left-s, j+right-s]
+    (inclusive, clamped); all bound arrays broadcast against the output."""
+    h, w = img.shape
+    shape = jnp.broadcast_shapes(
+        up.shape, down.shape, left.shape, right.shape, jnp.shape(col_shift) or (1,)
+    )
+    nd = len(shape)
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 2)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 1)
+    i0 = jnp.clip(ii - up, 0, h - 1)
+    i1 = jnp.clip(ii + down, 0, h - 1)
+    j0 = jnp.clip(jj - left - col_shift, 0, w - 1)
+    j1 = jnp.clip(jj + right - col_shift, 0, w - 1)
+    sat = _sat(img.astype(jnp.float32))
+    total = sat[i1 + 1, j1 + 1] - sat[i0, j1 + 1] - sat[i1 + 1, j0] + sat[i0, j0]
+    count = (i1 - i0 + 1) * (j1 - j0 + 1)
+    return total / jnp.maximum(count, 1).astype(jnp.float32)
+
+
+def local_mean_cost(
+    left: jax.Array,
+    right: jax.Array,
+    arms_l: Arms,
+    arms_r: Arms,
+    disp_range: int,
+) -> jax.Array:
+    """On-the-fly aggregated cost (`ComputeLocalValue`/`costAggregation`,
+    `CBLSM.h:969-1085`, dormant): cost(p, d) = |mean of the left image over
+    p's left-image arm region - mean of the right image over p's right-image
+    arm region shifted left by d|.
+
+    The reference's plumbing is badly scrambled (it passes ``d`` into the
+    ``dispRange`` parameter and indexes 2-D arm maps with a 3-D stride,
+    `CBLSM.h:1076-1078`; its count is off by one per row, `CBLSM.h:1012`);
+    per SURVEY.md §7 this implements the *intended* semantics — inclusive
+    arm spans, exact counts, clamped borders.
+    """
+    zero = jnp.int32(0)
+    mean_l = _arm_region_mean(
+        left, arms_l.up[None], arms_l.down[None], arms_l.left[None],
+        arms_l.right[None], zero,
+    )  # [1, H, W]
+    ds = jnp.arange(disp_range, dtype=jnp.int32)[:, None, None]
+    mean_r = _arm_region_mean(
+        right, arms_r.up[None], arms_r.down[None], arms_r.left[None],
+        arms_r.right[None], ds,
+    )  # [D, H, W]
+    return jnp.abs(mean_l - mean_r)
+
+
+def local_mean_cost_volume(
+    left: jax.Array,
+    right: jax.Array,
+    arm_left: jax.Array,
+    arm_right: jax.Array,
+    arm_up: jax.Array,
+    arm_down: jax.Array,
+) -> jax.Array:
+    """`costAggregationNew` (`CBLSM.h:1087-1126`, dormant): like
+    :func:`local_mean_cost` but both means use the same
+    disparity-conditioned support (int32 [D, H, W] arm volumes from
+    :func:`cblsm_arm_volumes`); the right mean's columns shift by d."""
+    d = arm_left.shape[0]
+    zero = jnp.int32(0)
+    mean_l = _arm_region_mean(left, arm_up, arm_down, arm_left, arm_right, zero)
+    ds = jnp.arange(d, dtype=jnp.int32)[:, None, None]
+    mean_r = _arm_region_mean(right, arm_up, arm_down, arm_left, arm_right, ds)
+    return jnp.abs(mean_l - mean_r)
+
+
 # ---------------------------------------------------------------------------
 # dormant CBLSM disparity-conditioned arm volumes (`CBLSM.h:65-236`)
 # ---------------------------------------------------------------------------

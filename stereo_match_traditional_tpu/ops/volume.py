@@ -149,7 +149,7 @@ def ad_volume(
 
 def sad_volume(
     left: jax.Array, right: jax.Array, disp_range: int, winsize: int, view: str = "left",
-    mean: bool = False,
+    mean: bool = False, channel_min: bool = False,
 ) -> jax.Array:
     """Windowed SAD volume (`SAD/Sad.h:96-182`; mean variant
     `CBLSM/CBLSM.h:409-489` via ``sadvalueMean`` `CBLSM.h:17-22`).
@@ -158,16 +158,37 @@ def sad_volume(
     ``winsize + 1`` (`SAD/Sad.h:109`), i.e. a 9x9 window for winsize=3.
     Inputs are the *unpadded* images; replicate padding happens here
     (`SAD/SADmain.cpp:47-48`).
+
+    ``channel_min=True`` is the dormant color variant `sadvalueMeanV4`
+    (`CBLSM/CBLSM.h:45-63` via `ComputeDispV4` `:494-532`): the per-pixel
+    error is the *minimum* channel absolute difference (intended semantics;
+    the reference's uchar accumulator overflow and unused T parameter are
+    catalogued quirks, not reproduced).  Inputs must then be [H, W, 3].
     """
     r = winsize + 1
-    lp = replicate_pad(left.astype(jnp.float32), r)
-    rp = replicate_pad(right.astype(jnp.float32), r)
-    if view == "left":
-        stack = shifted_stack(rp, disp_range, "left")
-        diff = jnp.abs(lp[None] - stack)
+    lf = left.astype(jnp.float32)
+    rf = right.astype(jnp.float32)
+    if channel_min:
+        # pad rows/cols only; shift along the column axis (-2 for color)
+        lp = jnp.pad(lf, ((r, r), (r, r), (0, 0)), mode="edge")
+        rp = jnp.pad(rf, ((r, r), (r, r), (0, 0)), mode="edge")
+        lp_c = jnp.moveaxis(lp, -1, 0)  # [3, Hp, Wp]
+        rp_c = jnp.moveaxis(rp, -1, 0)
+        if view == "left":
+            stack = shifted_stack(rp_c, disp_range, "left")   # [D, 3, Hp, Wp]
+            diff = jnp.min(jnp.abs(lp_c[None] - stack), axis=1)
+        else:
+            stack = shifted_stack(lp_c, disp_range, "right")
+            diff = jnp.min(jnp.abs(stack - rp_c[None]), axis=1)
     else:
-        stack = shifted_stack(lp, disp_range, "right")
-        diff = jnp.abs(stack - rp[None])
+        lp = replicate_pad(lf, r)
+        rp = replicate_pad(rf, r)
+        if view == "left":
+            stack = shifted_stack(rp, disp_range, "left")
+            diff = jnp.abs(lp[None] - stack)
+        else:
+            stack = shifted_stack(lp, disp_range, "right")
+            diff = jnp.abs(stack - rp[None])
     vol = box_sum_valid(diff, r, r)
     if mean:
         vol = vol / float((2 * r + 1) ** 2)
@@ -249,6 +270,83 @@ def ncc_volume(
 
     interior = ncc_interior_mask(h, wd, w, row_offset, global_rows)
     return vol, interior
+
+
+def ncc_shifted_depth(
+    left: jax.Array,
+    right: jax.Array,
+    max_offset: int = 79,
+    kernel_size: int = 5,
+    view: str = "left",
+    add_constant: bool = False,
+    depth_scale: int = 3,
+) -> jax.Array:
+    """Dormant whole-image shifted-NCC depth map (`ncc`, `NCC/NCC.h:117-272`,
+    disabled at `NCC_main.cpp:24`).
+
+    Per offset 1..max_offset the matching image is shifted column-wise (the
+    first/last ``offset`` columns keep their *unshifted* values,
+    `NCC.h:150-158` — reproduced), an 11x11 border-truncated NCC is
+    computed, and a per-pixel argmax tracker keeps the first strictly
+    greatest offset; the output is ``offset * 3`` for display
+    (`NCC.h:262`).  Faithful quirks: the pixel-count divisor is
+    ``(end_y-start_y)*(end_x-start_x)`` *without* +1 (`NCC.h:188`), and the
+    correlation is divided by n once more (`NCC.h:221`) — both leave the
+    argmax unchanged but are kept for value parity.  ``add_constant`` adds
+    10 to the right image (`NCC.h:128-131`).
+    """
+    k = kernel_size
+    lf = left.astype(jnp.float32)
+    rf = right.astype(jnp.float32)
+    if add_constant:
+        rf = rf + 10.0
+    h, w = lf.shape
+
+    cols = jnp.arange(w)
+    offs = jnp.arange(1, max_offset + 1)[:, None]  # [O, 1]
+    if view == "left":
+        # tmp[o, :, x] = right[:, x - o] for x >= o else right[:, x]
+        idx = jnp.where(cols[None, :] >= offs, cols[None, :] - offs, cols[None, :])
+        moving = jnp.moveaxis(jnp.take(rf, idx, axis=1), 1, 0)  # [O, H, W]
+        fixed = lf
+    else:
+        idx = jnp.where(
+            cols[None, :] < w - offs, cols[None, :] + offs, cols[None, :]
+        )
+        moving = jnp.moveaxis(jnp.take(lf, idx, axis=1), 1, 0)
+        fixed = rf
+
+    # border-truncated window sums (zero padding == skipping out-of-range)
+    s_fix = box_sum_same(fixed, k, k)
+    s_fix2 = box_sum_same(fixed * fixed, k, k)
+    s_mov = box_sum_same(moving, k, k)
+    s_mov2 = box_sum_same(moving * moving, k, k)
+    s_cross = box_sum_same(fixed[None] * moving, k, k)
+
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(w)[None, :]
+    rows_in = jnp.minimum(ii + k, h - 1) - jnp.maximum(ii - k, 0) + 1
+    cols_in = jnp.minimum(jj + k, w - 1) - jnp.maximum(jj - k, 0) + 1
+    cnt = (rows_in * cols_in).astype(jnp.float32)           # true element count
+    n = ((rows_in - 1) * (cols_in - 1)).astype(jnp.float32)  # quirky divisor
+
+    mu_f = s_fix / n
+    mu_m = s_mov / n
+    # sum over window of (x - mu)(y - mu) with the quirky mu:
+    num = s_cross - mu_f[None] * s_mov - mu_m * s_fix[None] + cnt[None] * mu_f[None] * mu_m
+    var_f = s_fix2 - 2.0 * mu_f * s_fix + cnt * mu_f * mu_f
+    var_m = s_mov2 - 2.0 * mu_m * s_mov + cnt[None] * mu_m * mu_m
+    res = (num / n[None]) / (
+        jnp.sqrt(jnp.maximum(var_f / n, 0.0))[None]
+        * jnp.sqrt(jnp.maximum(var_m / n[None], 0.0))
+    ) / n[None]
+    res = jnp.where(jnp.isnan(res), -jnp.inf, res)  # NaN never wins `>`
+
+    # strict-greater tracker init -2 (`NCC.h:139,254`): first max wins
+    best = jnp.argmax(res, axis=0)
+    best_val = jnp.take_along_axis(res, best[None], axis=0)[0]
+    depth = (best + 1) * depth_scale
+    return jnp.where(best_val > -2.0, depth, 0).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -472,3 +570,75 @@ def asw_volume_right(
         rf, lf, disp_range, win_size, space_sigma, color_sigma, truncation, "left"
     )
     return vol[:, :, ::-1]
+
+
+def asw_lab_volume(
+    left_gray: jax.Array,
+    right_gray: jax.Array,
+    left_lab: jax.Array,
+    right_lab: jax.Array,
+    disp_range: int,
+    win_size: int = 11,
+    space_sigma: float = 50.0,
+    color_sigma: float = 30.0,
+    truncation: float = 40.0,
+    faithful_lut: bool = False,
+) -> jax.Array:
+    """Dormant Yoon-Kweon-style Lab-weight ASW variant
+    (`ComputeWeigtColor` `ASW/ASW.h:49-80`, `ComputeProximity` `:82-105`,
+    `ComputeCost` `:148-175`; never called by the committed driver).
+
+    Per window pixel the color weight is the mean of three per-Lab-channel
+    Gaussians and the proximity weight is the spatial Gaussian; the cost is
+    the weighted mean absolute gray difference, truncated at the *cost*
+    level (`ASW.h:171-173` caps the normalized cost, unlike the active path
+    which truncates the per-pixel error).
+
+    ``faithful_lut=True`` reproduces the reference quirk where the mean of
+    the three Gaussians (a value in (0, 1]) is cast to int and used as an
+    *index* into the 256-entry color LUT (`ASW.h:76-77`) — collapsing the
+    color term to ~1 everywhere; default False = intended semantics.
+    """
+    radius = win_size + 1
+    side = 2 * radius + 1
+    lg = replicate_pad(left_gray.astype(jnp.float32), radius)
+    rg = replicate_pad(right_gray.astype(jnp.float32), radius)
+    ll = jnp.pad(left_lab.astype(jnp.float32), ((radius,) * 2, (radius,) * 2, (0, 0)), mode="edge")
+    rl = jnp.pad(right_lab.astype(jnp.float32), ((radius,) * 2, (radius,) * 2, (0, 0)), mode="edge")
+    h, w = left_gray.shape
+
+    space = _space_mask(radius, space_sigma).reshape(-1)
+    offsets = jnp.stack(
+        jnp.meshgrid(jnp.arange(side), jnp.arange(side), indexing="ij"), -1
+    ).reshape(-1, 2)
+    inv2sc = 1.0 / (2.0 * color_sigma * color_sigma)
+
+    def channel_weight(lab_sh, lab_c):
+        g3 = jnp.exp(-((lab_sh - lab_c) ** 2) * inv2sc)  # [H, W, 3]
+        mean3 = jnp.mean(g3, axis=-1)
+        if faithful_lut:
+            idx = mean3.astype(jnp.int32).astype(jnp.float32)  # 0 or 1
+            return jnp.exp(-(idx * idx) * inv2sc)
+        return mean3
+
+    err = jnp.abs(lg[None] - shifted_stack(rg, disp_range, "left"))  # [D, Hp, Wp]
+
+    def step(carry, xs):
+        num, den = carry
+        (dy, dx), sp = xs
+        ll_sh = jax.lax.dynamic_slice(ll, (dy, dx, 0), (h, w, 3))
+        rl_sh = jax.lax.dynamic_slice(rl, (dy, dx, 0), (h, w, 3))
+        ll_c = jax.lax.dynamic_slice(ll, (radius, radius, 0), (h, w, 3))
+        rl_c = jax.lax.dynamic_slice(rl, (radius, radius, 0), (h, w, 3))
+        w_l = channel_weight(ll_sh, ll_c) * sp
+        w_r = channel_weight(rl_sh, rl_c) * sp
+        w_r_d = shifted_stack(w_r, disp_range, "left")
+        e = jax.lax.dynamic_slice(err, (0, dy, dx), (disp_range, h, w))
+        wlr = w_l[None] * w_r_d
+        return (num + wlr * e, den + wlr), None
+
+    num0 = jnp.zeros((disp_range, h, w), jnp.float32)
+    den0 = jnp.zeros((disp_range, h, w), jnp.float32)
+    (num, den), _ = jax.lax.scan(step, (num0, den0), (offsets, space))
+    vol = jnp.minimum(num / jnp.maximum(den, 1e-20), truncation)
+    return border_fill(vol, "left")
