@@ -55,7 +55,7 @@ def _scr_w(radius: int) -> int:
 
 
 def _asw_kernel(
-    l_hbm, s_hbm, out_ref, l_scr, rs_scr, sem,
+    l_hbm, s_hbm, out_ref, l_scr, rs_scr, num_ref, den_ref, sem,
     *, radius: int, disp_range: int, inv2sc: float, inv_ss: float, trunc: float,
 ):
     i = pl.program_id(0)
@@ -81,50 +81,47 @@ def _asw_kernel(
     rs_c = rs_scr[:, r : r + _TH, r : r + _TW]              # [D, TH, TW]
 
     # Mosaic requires dynamic slice offsets to be tile-aligned in both minor
-    # dims, so the window offsets advance by *rolling* the VMEM-resident
-    # tiles one row / one lane per iteration (static shifts) and always
-    # reading the fixed top-left corner.  A statically unrolled inner loop
-    # would instead keep ~25 iterations of [D, TH, TW] temporaries live and
-    # blow the scoped-VMEM budget.
+    # dims.  Vertical window offsets advance by *rolling* the VMEM-resident
+    # tiles one row per fori iteration (static shift); horizontal offsets
+    # are a statically unrolled loop of static lane slices (compiled to lane
+    # rotations).  Structure variants measured on v5e: per-offset lane-roll
+    # carries 96 ms, ref-accumulate-per-offset 78 ms, chunked flushes 78 ms,
+    # TH=16 78 ms — the plateau is the rotate+exp floor, 3.4x the XLA scan.
+    num_ref[:] = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
+    den_ref[:] = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
+
     def dy_body(dy, carry):
-        num, den, l_cur, rs_cur = carry
+        l_cur, rs_cur = carry
         vspace = ((dy - r) * (dy - r)).astype(jnp.float32)
-        l_top0 = l_cur[0:_TH, :]                            # [TH, SW]
-        rs_top0 = rs_cur[:, 0:_TH, :]                       # [D, TH, SW]
+        l_top = l_cur[0:_TH, :]                             # [TH, SW]
+        rs_top = rs_cur[:, 0:_TH, :]                        # [D, TH, SW]
+        # chunked value accumulation: Mosaic keeps every unrolled
+        # iteration's temporaries live on the scoped-VMEM stack (a full
+        # 25-wide value chain OOMs at ~28 MB); 6-wide chunks flushed to
+        # scratch refs stay under the 16 MB budget.
+        chunk = 6
+        for c0 in range(0, side, chunk):
+            num = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
+            den = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
+            for dx in range(c0, min(c0 + chunk, side)):
+                l_o = l_top[:, dx : dx + _TW]
+                r_o = rs_top[:, :, dx : dx + _TW]
+                dl = l_o - l_c                              # [TH, TW]
+                dr = r_o - rs_c                             # [D, TH, TW]
+                space = vspace + float((dx - r) * (dx - r))
+                w = jnp.exp(
+                    -(dl[None] * dl[None] + dr * dr) * inv2sc - space * inv_ss
+                )
+                e = jnp.minimum(jnp.abs(l_o[None] - r_o), trunc)
+                num = num + w * e
+                den = den + w
+            num_ref[:] += num
+            den_ref[:] += den
+        # up-by-one row advance (roll shift must be non-negative)
+        return pltpu.roll(l_cur, sh - 1, 0), pltpu.roll(rs_cur, sh - 1, 1)
 
-        def dx_body(dx, inner):
-            n_, d_, l_top, rs_top = inner
-            l_o = l_top[:, 0:_TW]                           # cols dx..dx+TW
-            r_o = rs_top[:, :, 0:_TW]
-            dl = l_o - l_c                                  # [TH, TW]
-            dr = r_o - rs_c                                 # [D, TH, TW]
-            space = vspace + ((dx - r) * (dx - r)).astype(jnp.float32)
-            w = jnp.exp(
-                -(dl[None] * dl[None] + dr * dr) * inv2sc - space * inv_ss
-            )
-            e = jnp.minimum(jnp.abs(l_o[None] - r_o), trunc)
-            # left-by-one lane advance (roll shift must be non-negative)
-            return (
-                n_ + w * e,
-                d_ + w,
-                pltpu.roll(l_top, sw - 1, 1),
-                pltpu.roll(rs_top, sw - 1, 2),
-            )
-
-        num, den, _, _ = jax.lax.fori_loop(
-            0, side, dx_body, (num, den, l_top0, rs_top0)
-        )
-        # up-by-one row advance for the next dy
-        l_next = pltpu.roll(l_cur, sh - 1, 0)
-        rs_next = pltpu.roll(rs_cur, sh - 1, 1)
-        return num, den, l_next, rs_next
-
-    num0 = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
-    den0 = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
-    num, den, _, _ = jax.lax.fori_loop(
-        0, side, dy_body, (num0, den0, l_scr[:], rs_scr[:])
-    )
-    out_ref[:] = num / jnp.maximum(den, 1e-20)
+    jax.lax.fori_loop(0, side, dy_body, (l_scr[:], rs_scr[:]))
+    out_ref[:] = num_ref[:] / jnp.maximum(den_ref[:], 1e-20)
 
 
 @functools.partial(
@@ -186,6 +183,8 @@ def _asw_pallas_left(
         scratch_shapes=[
             pltpu.VMEM((sh, sw), jnp.float32),
             pltpu.VMEM((disp_range, sh, sw), jnp.float32),
+            pltpu.VMEM((disp_range, _TH, _TW), jnp.float32),
+            pltpu.VMEM((disp_range, _TH, _TW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
