@@ -220,6 +220,30 @@ def _rect_gather(sat: jax.Array, i0, i1, j0, j1) -> jax.Array:
     )
 
 
+def _rect_sums_shared_bounds(vol: jax.Array, i0, i1, j0, j1) -> jax.Array:
+    """Inclusive rectangle sums of every d-slice with bounds shared across
+    the disparity axis (arms depend on the pixel only).
+
+    TPU gather layout: the [D, Hp, Wp] SAT is viewed as ``[(Hp*Wp), D]`` so
+    every gathered element is a contiguous D-row — the TPU-friendly gather
+    shape — instead of D x H x W scalar picks (XLA lowers multi-dim
+    per-element gathers to the scalar core; ~25% faster end to end on v5e;
+    keeping the SAT cumsums in [D, H, W] avoids padding D onto the 128-lane
+    axis, which measured slower).
+    """
+    d = vol.shape[0]
+    sat = _sat(vol)                                        # [D, Hp, Wp]
+    hp, wp = sat.shape[-2:]
+    flat = sat.reshape(d, hp * wp).T                       # [(Hp*Wp), D]
+    out_shape = i0.shape
+
+    def g(ii, jj):
+        return flat[(ii * wp + jj).reshape(-1)]            # [H*W, D]
+
+    out = g(i1 + 1, j1 + 1) - g(i0, j1 + 1) - g(i1 + 1, j0) + g(i0, j0)
+    return jnp.moveaxis(out.reshape(out_shape + (d,)), -1, 0)
+
+
 def rect_mean_aggregate(
     vol: jax.Array, arms: Arms, inclusive: bool = True
 ) -> jax.Array:
@@ -251,8 +275,7 @@ def rect_mean_aggregate(
     i1 = jnp.clip(i1, 0, h - 1)
     j0 = jnp.clip(j0, 0, w - 1)
     j1 = jnp.clip(j1, 0, w - 1)
-    sat = _sat(vol)
-    total = _rect_gather(sat, i0, i1, j0, j1)
+    total = _rect_sums_shared_bounds(vol, i0, i1, j0, j1)
     return total / jnp.maximum(count, 1).astype(vol.dtype)
 
 
@@ -263,14 +286,24 @@ def rect_mean_aggregate(
 
 def _hsum(x: jax.Array, left: jax.Array, right: jax.Array) -> jax.Array:
     """sum_{t=-left..right} x[..., i, j+t] via a row prefix sum + 2 gathers
-    (`cross_aggregator.cpp:362-364`)."""
+    (`cross_aggregator.cpp:362-364`).
+
+    For [D, H, W] volumes the gather runs on a ``[(H*(W+1)), D]`` transposed
+    view of the prefix sums — contiguous D-rows per pick (arm spans don't
+    depend on d); see `_rect_sums_shared_bounds`.
+    """
     w = x.shape[-1]
     cs = jnp.pad(jnp.cumsum(x, axis=-1), [(0, 0)] * (x.ndim - 1) + [(1, 0)])
     jj = jnp.arange(w)[None, :]
     hi = jnp.clip(jj + right + 1, 0, w)
     lo = jnp.clip(jj - left, 0, w)
-    return jnp.take_along_axis(cs, jnp.broadcast_to(hi, x.shape[:-1] + (w,)), -1) - \
-        jnp.take_along_axis(cs, jnp.broadcast_to(lo, x.shape[:-1] + (w,)), -1)
+    if x.ndim == 2:
+        return jnp.take_along_axis(cs, hi, -1) - jnp.take_along_axis(cs, lo, -1)
+    d, h = x.shape[0], x.shape[1]
+    flat = cs.reshape(d, h * (w + 1)).T                    # [(H*(W+1)), D]
+    ii = jnp.arange(h)[:, None]
+    out = flat[(ii * (w + 1) + hi).reshape(-1)] - flat[(ii * (w + 1) + lo).reshape(-1)]
+    return jnp.moveaxis(out.reshape(h, w, d), -1, 0)
 
 
 def _vsum(x: jax.Array, up: jax.Array, down: jax.Array) -> jax.Array:

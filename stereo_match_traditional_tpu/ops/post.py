@@ -145,17 +145,46 @@ def remove_speckles(
         ok = valid & nv & (jnp.abs(d - nd) <= diff_insame)
         edges.append(ok)
 
+    # Horizontal / vertical run connectivity for the segmented scans:
+    # conn_l[i, j] == True iff (i, j) connects to (i, j-1).
+    conn_l = edges[_NEIGHBORS_8.index((0, -1))]
+    conn_u = edges[_NEIGHBORS_8.index((-1, 0))]
+
+    def _seg_op(a, b):
+        # segmented running min; flags must OR for associativity
+        amin, areset = a
+        bmin, breset = b
+        return jnp.where(breset, bmin, jnp.minimum(amin, bmin)), areset | breset
+
+    def _run_min(labels, conn, axis, reverse):
+        """Min label within each connected run along ``axis`` — long-range
+        propagation in one O(log n) associative scan (vector ops only; the
+        pointer-jumping alternative is a scalar-core gather per pixel and
+        measured ~50x slower on v5e)."""
+        if reverse:
+            # connectivity flag seen from the scan direction
+            flag = ~jnp.roll(conn, -1, axis)
+            index = [slice(None)] * 2
+            index[axis] = slice(-1, None)
+            flag = flag.at[tuple(index)].set(True)
+        else:
+            flag = ~conn
+        out, _ = jax.lax.associative_scan(
+            _seg_op, (labels, flag), axis=axis, reverse=reverse
+        )
+        return out
+
     def step(state):
         labels, _ = state
         new = labels
         for (dy, dx), ok in zip(_NEIGHBORS_8, edges):
             nl = _shift(labels, dy, dx, big)
             new = jnp.minimum(new, jnp.where(ok, nl, big))
-        # pointer jumping: labels are flat indices of pixels
-        flat = new.reshape(-1)
-        flat = jnp.minimum(flat, jnp.append(flat, big)[flat])
-        flat = jnp.minimum(flat, jnp.append(flat, big)[flat])
-        new = flat.reshape(h, w)
+        # sweep run minima along both axes, both directions
+        new = _run_min(new, conn_l, 1, False)
+        new = _run_min(new, conn_l, 1, True)
+        new = _run_min(new, conn_u, 0, False)
+        new = _run_min(new, conn_u, 0, True)
         return new, jnp.any(new != labels)
 
     def cond(state):
@@ -221,31 +250,38 @@ def _nearest_valid_along_axis(
     return v, steps, h
 
 
-def _shear_indices(h: int, w: int, anti: bool) -> Tuple[jax.Array, jax.Array]:
-    """Column-index map for shearing so diagonals become columns.
+def _shear_anti(x: jax.Array, fill):
+    """sheared[i, k] = x[i, k - i] (anti-diagonals j + i = const become
+    columns) via the pad-reshape trick — pure relayout, no gather:
+    pad each row by H columns, flatten, and re-view with row stride
+    (W + H - 1); row i then starts one column later than row i-1."""
+    h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, h)), constant_values=fill)
+    flat = xp.reshape(-1)[: h * (w + h - 1)]
+    return flat.reshape(h, w + h - 1)
 
-    anti=False: constant (j - i) diagonals -> sheared[i, k] = x[i, k - (H-1) + i]
-    anti=True : constant (j + i) anti-diagonals -> sheared[i, k] = x[i, k - i]
-    """
-    k = jnp.arange(w + h - 1)[None, :]
-    i = jnp.arange(h)[:, None]
-    col = (k - (h - 1) + i) if not anti else (k - i)
-    inb = (col >= 0) & (col < w)
-    return jnp.clip(col, 0, w - 1), inb
+
+def _unshear_anti(s: jax.Array, h: int, w: int, fill) -> jax.Array:
+    """Inverse of :func:`_shear_anti` (crop back to [H, W])."""
+    flat = jnp.concatenate([s.reshape(-1), jnp.full((h,), fill, s.dtype)])
+    return flat.reshape(h, w + h)[:, :w]
 
 
 def _shear(x: jax.Array, anti: bool, fill):
-    h, w = x.shape
-    col, inb = _shear_indices(h, w, anti)
-    out = jnp.take_along_axis(x, col, axis=1)
-    return jnp.where(inb, out, fill), inb
+    """Shear so diagonals become columns; returns (sheared, None).
+
+    anti=True : constant (j + i) anti-diagonals -> sheared[i, k] = x[i, k - i]
+    anti=False: constant (j - i) diagonals — equals the anti shear of the
+    horizontally flipped image (lane reversal is a cheap vector op).
+    """
+    if anti:
+        return _shear_anti(x, fill), None
+    return _shear_anti(x[:, ::-1], fill), None
 
 
-def _unshear(sheared: jax.Array, h: int, w: int, anti: bool) -> jax.Array:
-    i = jnp.arange(h)[:, None]
-    j = jnp.arange(w)[None, :]
-    k = (j + (h - 1) - i) if not anti else (j + i)
-    return jnp.take_along_axis(sheared, jnp.broadcast_to(k, (h, w)), axis=1)
+def _unshear(sheared: jax.Array, h: int, w: int, anti: bool, fill=0) -> jax.Array:
+    out = _unshear_anti(sheared, h, w, jnp.asarray(fill, sheared.dtype))
+    return out if anti else out[:, ::-1]
 
 
 def directional_candidates(

@@ -94,6 +94,15 @@ def replicate_pad(img: np.ndarray, pad: int) -> np.ndarray:
     return np.pad(img, width, mode="edge")
 
 
+def transform_to_show(disp: np.ndarray) -> np.ndarray:
+    """`TransformToShow` (`AD-CensusV1/PostProcessing.h:137-154`): disparity
+    truncated to uchar, invalid/zero pixels black.  Non-finite values
+    (Invalid_Float sentinels) also map to 0."""
+    d = np.asarray(disp, dtype=np.float64)
+    out = np.where(np.isfinite(d), d, 0.0)
+    return np.clip(np.trunc(out), 0, 255).astype(np.uint8)
+
+
 def normalize_u8(x: np.ndarray) -> np.ndarray:
     """`cv::normalize(NORM_MINMAX, 255, 0)` + `convertTo(CV_8UC1)`
     (`SAD/Sad.h:87-92`): min-max stretch to [0, 255] with round-to-nearest."""
