@@ -1,3 +1,4 @@
+from stereo_match_traditional_tpu.parallel.gspmd import gspmd_pipeline  # noqa: F401
 from stereo_match_traditional_tpu.parallel.halo import (  # noqa: F401
     add_row_halo,
     crop_row_halo,

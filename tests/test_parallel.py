@@ -217,3 +217,27 @@ def test_tiled_deterministic_across_runs():
     a = run_tiled("cblsm", L, R, cfg, mesh)
     b = run_tiled("cblsm", L, R, cfg, mesh)
     np.testing.assert_array_equal(np.asarray(a.disp_left), np.asarray(b.disp_left))
+
+
+def test_gspmd_pipeline_matches_single_device():
+    """GSPMD (jit + sharding constraints) must be semantics-preserving for
+    every pipeline, including post chains — XLA chooses the collectives."""
+    from stereo_match_traditional_tpu.parallel.gspmd import gspmd_pipeline
+
+    L, R, _ = make_pair(48, 64, 10, seed=3)
+    mesh = make_mesh(8, ("tile",))
+    for name, cfg in [
+        ("sad", cfgs.SADConfig(max_disparity=10, winsize=1, run_post=True)),
+        ("ad_census", cfgs.ADCensusConfig(disp_range=10, run_post=True)),
+    ]:
+        fn, _ = get_pipeline(name)
+        want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+        got = gspmd_pipeline(name, cfg, mesh)(jnp.asarray(L), jnp.asarray(R))
+        np.testing.assert_array_equal(
+            np.asarray(got.disp_left), np.asarray(want.disp_left)
+        )
+        w = np.asarray(want.disp_final)
+        g = np.asarray(got.disp_final)
+        both = np.isfinite(w) & np.isfinite(g)
+        np.testing.assert_array_equal(np.isfinite(w), np.isfinite(g))
+        np.testing.assert_allclose(g[both], w[both], atol=1e-5)
