@@ -45,37 +45,43 @@ def _directional_pass(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One directional pass.
 
-    cost: [N, H, D] with axis 0 the path direction; gray: [N, H].
-    Returns (aggregated [N, H, D], final carry) — the carry (last aggregated
-    column and its min) is what crosses device boundaries in the sharded
-    scan (parallel.scan_carry).
+    cost: [N, ..., D] with axis 0 the path direction (extra middle axes ride
+    along — `scanline_optimize` stacks the forward and reversed passes into
+    one scan to halve the sequential-dispatch overhead); gray: [N, ...].
+    Returns (aggregated [N, ..., D], final carry) — the carry (last
+    aggregated column and its min) is what crosses device boundaries in the
+    sharded scan (parallel.scan_carry).
     ``init_carry``/``init_gray`` continue a scan from a neighbor tile.
     """
-    n, h, d = cost.shape
+    n, d = cost.shape[0], cost.shape[-1]
 
     prev_g = jnp.concatenate(
         [gray[:1] if init_gray is None else init_gray[None], gray[:-1]], axis=0
     )
-    p2 = jnp.maximum(p1, p2_init / (jnp.abs(gray - prev_g) + 1.0))  # [N, H]
+    p2 = jnp.maximum(p1, p2_init / (jnp.abs(gray - prev_g) + 1.0))  # [N, ...]
 
     def body(carry, xs):
-        prev, prev_min = carry  # [H, D], [H]
-        c, p2_col = xs          # [H, D], [H]
-        inf_col = jnp.full((h, 1), _BIG)
+        prev, prev_min = carry  # [..., D], [...]
+        c, p2_col = xs          # [..., D], [...]
+        inf_col = jnp.full(prev.shape[:-1] + (1,), _BIG)
         l1 = prev
         if l2_uses_dm1:
-            l2 = jnp.concatenate([inf_col, prev[:, :-1]], axis=1) + p1
+            l2 = jnp.concatenate([inf_col, prev[..., :-1]], axis=-1) + p1
         else:
             # reference vertical quirk: l2 = costLastPath[d+1] + p1 == prev[d]+p1
             l2 = prev + p1
-        l3 = jnp.concatenate([prev[:, 1:], inf_col], axis=1) + p1
-        l4 = (prev_min + p2_col)[:, None]
-        out = c + jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4)) - prev_min[:, None]
-        return (out, jnp.min(out, axis=1)), out
+        l3 = jnp.concatenate([prev[..., 1:], inf_col], axis=-1) + p1
+        l4 = (prev_min + p2_col)[..., None]
+        out = (
+            c
+            + jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
+            - prev_min[..., None]
+        )
+        return (out, jnp.min(out, axis=-1)), out
 
     if init_carry is None:
         first = cost[0]
-        carry0 = (first, jnp.min(first, axis=1))
+        carry0 = (first, jnp.min(first, axis=-1))
         xs = (cost[1:], p2[1:])
         carry, ys = jax.lax.scan(body, carry0, xs)
         agg = jnp.concatenate([first[None], ys], axis=0)
@@ -96,21 +102,21 @@ def scanline_optimize(
     p1, p2 = cfg.p1, cfg.p2
     vert_dm1 = not cfg.faithful_vertical_l2
 
+    # Four separate scans: stacking the forward/backward passes into one
+    # scan over a [N, 2, ..., D] layout measured 50x slower on v5e (and 6
+    # minutes to compile) — XLA tiles the extra middle axis poorly.
     # horizontal: scan over W; lanes = rows.
     c_whd = jnp.transpose(cost, (2, 1, 0))          # [W, H, D]
     g_wh = gray.astype(jnp.float32).T               # [W, H]
     lr, _ = _directional_pass(c_whd, g_wh, p1, p2, True)
     rl, _ = _directional_pass(c_whd[::-1], g_wh[::-1], p1, p2, True)
-    rl = rl[::-1]
+    horiz = lr + rl[::-1]                           # [W, H, D]
 
     # vertical: scan over H; lanes = columns.
     c_hwd = jnp.transpose(cost, (1, 2, 0))          # [H, W, D]
     g_hw = gray.astype(jnp.float32)                 # [H, W]
     ud, _ = _directional_pass(c_hwd, g_hw, p1, p2, vert_dm1)
     du, _ = _directional_pass(c_hwd[::-1], g_hw[::-1], p1, p2, vert_dm1)
-    du = du[::-1]
+    vert = ud + du[::-1]                            # [H, W, D]
 
-    total = (
-        jnp.transpose(lr + rl, (2, 1, 0)) + jnp.transpose(ud + du, (2, 0, 1))
-    )
-    return total
+    return jnp.transpose(horiz, (2, 1, 0)) + jnp.transpose(vert, (2, 0, 1))

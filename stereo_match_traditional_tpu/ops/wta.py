@@ -71,8 +71,14 @@ def optimal_disparity(
 
 
 def wta_with_cost(vol: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Argmin + its cost (used by the dormant `ComputeDisp` hybrid,
-    `CBLSM/CBLSM.h:296-325`)."""
+    """Argmin + its cost."""
     best = jnp.argmin(vol, axis=0)
     cost = jnp.take_along_axis(vol, best[None], axis=0)[0]
     return best.astype(jnp.float32), cost
+
+
+def wta_sum(vol_a: jax.Array, vol_b: jax.Array) -> jax.Array:
+    """The dormant `ComputeDisp` hybrid (`CBLSM/CBLSM.h:296-325`): argmin
+    over d of the elementwise *sum* of two volumes (the driver feeds the
+    disparity-conditioned arm-count volume plus the cost volume)."""
+    return wta(vol_a.astype(jnp.float32) + vol_b.astype(jnp.float32), "min")
