@@ -77,7 +77,9 @@ def cblsm_pipeline(left, right, cfg: CBLSMConfig = CBLSMConfig()) -> StereoResul
     elif cfg.aggregation == "rect_mean_v4":
         # dormant disparity-conditioned support (`CBLSM.cpp:108-111` +
         # `costAggregationV4`, `CBLSM.h:1128-1176`)
-        vl, vr, vu, vd = aggregate.cblsm_arm_volumes(arms_l, arms_r, d)
+        vl, vr, vu, vd = aggregate.cblsm_arm_volumes(
+            arms_l, arms_r, d, max_steps=cfg.arms.max_length
+        )
         agg_l = aggregate.rect_mean_aggregate_volume(vol_l, vl, vr, vu, vd)
         agg_r = aggregate.rect_mean_aggregate_volume(vol_r, vl, vr, vu, vd)
     elif cfg.aggregation == "cross_two_pass":

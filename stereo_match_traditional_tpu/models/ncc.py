@@ -28,10 +28,8 @@ def ncc_pipeline(left, right, cfg: NCCConfig = NCCConfig()) -> StereoResult:
     vol, interior = volume.ncc_volume(
         left, right, cfg.disp_range, cfg.win_size, cfg.invalid_mode, cfg.eps
     )
-    # zero-variance windows produce NaN in the reference (double divide,
-    # `NCC.h:46`); NaN never wins its `<` comparison, so mask to the
-    # never-wins sentinel here.
-    vol = jnp.where(jnp.isnan(vol), -2.0, vol)
+    # zero-variance windows are masked to the never-wins value inside
+    # ncc_volume (the reference's NaN-never-wins semantics, `NCC.h:46,59`)
     disp = wta.wta(vol, "max")
     disp = jnp.where(interior, disp, 0.0)
     return StereoResult(disp)

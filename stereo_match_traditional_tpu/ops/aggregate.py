@@ -456,7 +456,7 @@ def local_mean_cost_volume(
 
 
 def cblsm_arm_volumes(
-    arms_l: Arms, arms_r: Arms, disp_range: int
+    arms_l: Arms, arms_r: Arms, disp_range: int, max_steps: int = 34
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """The dormant "CBLSM idea proper": per-(pixel, d) support extents that
     intersect the left-image arms with the right-image arms shifted by d
@@ -494,21 +494,20 @@ def cblsm_arm_volumes(
     # with nothing counted, `CBLSM.h:170-173`); otherwise it counts steps
     # s=1..LUp whose right-image horizontal arms at row i-s *strictly*
     # contain column j-d (`CBLSM.h:175`: d < RL(i-s,j) and RR(i-s,j)+d > 0).
-    vol_up = _cblsm_vertical_volume(arms_l, arms_r, disp_range, up=True)
+    vol_up = _cblsm_vertical_volume(arms_l, arms_r, disp_range, up=True, max_steps=max_steps)
     # Down extent (`chooseArmLengthDown`, `CBLSM.h:195-236`): overrunning
     # RDown breaks *keeping* the count (`CBLSM.h:225-228`), so the walk is
     # bounded by min(LDown, RDown); j < d zeroes it (`CBLSM.h:215-219`);
     # containment is inclusive (`CBLSM.h:220`: d <= RL(i+s,j)).
-    vol_dn = _cblsm_vertical_volume(arms_l, arms_r, disp_range, up=False)
+    vol_dn = _cblsm_vertical_volume(arms_l, arms_r, disp_range, up=False, max_steps=max_steps)
     return vol_l.astype(jnp.int32), vol_r.astype(jnp.int32), vol_up, vol_dn
 
 
 def _cblsm_vertical_volume(
-    arms_l: Arms, arms_r: Arms, disp_range: int, up: bool
+    arms_l: Arms, arms_r: Arms, disp_range: int, up: bool, max_steps: int = 34
 ) -> jax.Array:
     """Vertical disparity-conditioned extents; see :func:`cblsm_arm_volumes`."""
     h, w = arms_l.left.shape
-    max_steps = 34
     sign = -1 if up else +1
     l_arm = arms_l.up if up else arms_l.down
     r_arm = arms_r.up if up else arms_r.down
@@ -525,7 +524,7 @@ def _cblsm_vertical_volume(
     jd_valid = (jj - d) >= 0                                # [1, D, 1, W]
 
     if up:
-        in_walk = step <= jnp.minimum(l_arm, 34)[None, None]
+        in_walk = step <= jnp.minimum(l_arm, max_steps)[None, None]
         contains = (d < ptr_l) & ((ptr_r > 0) | (d > 0))    # strict bounds
         count = jnp.sum((in_walk & contains).astype(jnp.int32), axis=0)
         count = jnp.where(l_arm[None] > r_arm[None], 0, count)

@@ -173,8 +173,8 @@ def _asw_pallas_left(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # lp stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # shifted stack in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # lp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # shifted stack in HBM
         ],
         out_specs=pl.BlockSpec(
             (disp_range, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM

@@ -112,22 +112,22 @@ def remove_speckles(
     `AD-CensusV1/PostProcessing.h:250-311`; also covers OpenCV
     ``filterSpeckles`` as used at `ASW/ASWeight.cpp:73`).
 
-    Pixels are connected (8-neighborhood) when both are valid and their
-    disparities differ by <= diff_insame; components smaller than
-    ``min_speckle_area`` become ``invalid_value``.  ``background`` marks a
-    value excluded from labeling entirely (the SAD variant skips
-    ``disp == 0`` seeds, `Sad.h:265`; the PostProcessing variant skips
-    ``disp == invalid_val`` — pass ``background=invalid_value``).
+    Pixels are connected (8-neighborhood) when both are members
+    (``!= invalid_value``, `Sad.h:294`) and their disparities differ by
+    <= diff_insame; components smaller than ``min_speckle_area`` become
+    ``invalid_value``.  ``background`` marks the value the SAD variant
+    skips as a BFS *seed* (`Sad.h:265` skips ``disp == 0``): background
+    pixels still join components through neighbors and count toward the
+    area, but a component containing only background pixels is never
+    visited and survives.
 
-    The BFS becomes iterative min-label flooding with pointer jumping (the
-    label *is* a flat pixel index, so ``L <- L[L]`` collapses chains); the
-    fixpoint is reached in O(log diameter) rounds via `lax.while_loop`.
+    The BFS becomes iterative min-label flooding via segmented min-scans
+    along connected runs plus an 8-neighbor glue step, iterated to the
+    fixpoint with `lax.while_loop`.
     """
     h, w = disp.shape
     d = disp.astype(jnp.float32)
     valid = jnp.isfinite(d) & (d != invalid_value)
-    if background is not None:
-        valid = valid & (d != background)
 
     big = jnp.int32(h * w)
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
@@ -198,6 +198,12 @@ def remove_speckles(
     )
     area = counts[flat_labels].reshape(h, w)
     kill = valid & (area < min_speckle_area)
+    if background is not None:
+        # components containing only background pixels have no BFS seed in
+        # the reference and are never visited (`Sad.h:265`)
+        seed = (valid & (d != background)).reshape(-1).astype(jnp.int32)
+        seeds = jnp.zeros(h * w + 1, jnp.int32).at[flat_labels].add(seed)
+        kill = kill & (seeds[flat_labels].reshape(h, w) > 0)
     return jnp.where(kill, invalid_value, d)
 
 
@@ -424,14 +430,18 @@ def fill_image(disp: jax.Array) -> jax.Array:
 
 
 def fill_image_second_times(disp: jax.Array, threshold: float = 20.0) -> jax.Array:
-    """`FillImageSecondTimes` (`SAD/Sad.h:483-538`): pixels <= threshold take
-    the nearest value > 0 to the right, else the threshold value."""
+    """`FillImageSecondTimes` (`SAD/Sad.h:483-538`): pixels <= threshold
+    search rightward *starting at themselves* (`Sad.h:510` reads offset 0
+    first) for the nearest nonzero value, falling back to the threshold at
+    the border — so nonzero low pixels deterministically keep their own
+    value and only zero pixels are filled.  (The reference's accumulating
+    ``pixel_col += offset`` triangular stride at `Sad.h:513` is a
+    catalogued quirk; intended one-step scan implemented.)"""
     d = disp.astype(jnp.float32)
-    target = d <= threshold
     valid = d != 0
     rv, _, rf = _nearest_valid_along_axis(d, valid, 1, reverse=True)
     fill = jnp.where(rf, rv, threshold)
-    return jnp.where(target, fill, d)
+    return jnp.where((d == 0) & (d <= threshold), fill, d)
 
 
 def fill_image_last(disp: jax.Array) -> jax.Array:

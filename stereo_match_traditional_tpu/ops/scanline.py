@@ -40,24 +40,16 @@ def _directional_pass(
     p1: float,
     p2_init: float,
     l2_uses_dm1: bool = True,
-    init_carry: Tuple[jax.Array, jax.Array] = None,
-    init_gray: jax.Array = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One directional pass.
 
-    cost: [N, ..., D] with axis 0 the path direction (extra middle axes ride
-    along — `scanline_optimize` stacks the forward and reversed passes into
-    one scan to halve the sequential-dispatch overhead); gray: [N, ...].
-    Returns (aggregated [N, ..., D], final carry) — the carry (last
-    aggregated column and its min) is what crosses device boundaries in the
-    sharded scan (parallel.scan_carry).
-    ``init_carry``/``init_gray`` continue a scan from a neighbor tile.
+    cost: [N, ..., D] with axis 0 the path direction (extra middle axes
+    ride along); gray: [N, ...].  Returns (aggregated [N, ..., D], final
+    carry) — the carry (last aggregated column and its min) is what a
+    cross-tile continuation would hand to the next device; the sharded
+    implementation reshards with all_to_all instead (parallel.scan_carry).
     """
-    n, d = cost.shape[0], cost.shape[-1]
-
-    prev_g = jnp.concatenate(
-        [gray[:1] if init_gray is None else init_gray[None], gray[:-1]], axis=0
-    )
+    prev_g = jnp.concatenate([gray[:1], gray[:-1]], axis=0)
     p2 = jnp.maximum(p1, p2_init / (jnp.abs(gray - prev_g) + 1.0))  # [N, ...]
 
     def body(carry, xs):
@@ -79,16 +71,10 @@ def _directional_pass(
         )
         return (out, jnp.min(out, axis=-1)), out
 
-    if init_carry is None:
-        first = cost[0]
-        carry0 = (first, jnp.min(first, axis=-1))
-        xs = (cost[1:], p2[1:])
-        carry, ys = jax.lax.scan(body, carry0, xs)
-        agg = jnp.concatenate([first[None], ys], axis=0)
-    else:
-        carry, ys = jax.lax.scan(body, init_carry, (cost, p2))
-        agg = ys
-    return agg, carry
+    first = cost[0]
+    carry0 = (first, jnp.min(first, axis=-1))
+    carry, ys = jax.lax.scan(body, carry0, (cost[1:], p2[1:]))
+    return jnp.concatenate([first[None], ys], axis=0), carry
 
 
 def scanline_optimize(

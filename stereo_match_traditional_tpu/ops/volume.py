@@ -242,8 +242,12 @@ def ncc_volume(
     """
     w = win_size
     n = float((2 * w + 1) ** 2)
-    lf = left.astype(jnp.float32)
-    rf = right.astype(jnp.float32)
+    # center at 128 (exact in f32 for u8 inputs): the one-pass
+    # sum-of-products formula cancels catastrophically on raw u8 magnitudes
+    # (sums ~1.7e7 where the f32 ulp is 2); centering keeps the error below
+    # any real texture's variance.
+    lf = left.astype(jnp.float32) - 128.0
+    rf = right.astype(jnp.float32) - 128.0
     h, wd = lf.shape
 
     sum_l = box_sum_same(lf, w, w)
@@ -261,6 +265,12 @@ def ncc_volume(
     var_l = jnp.maximum(sum_l2 - sum_l * sum_l / n, 0.0)
     var_r = jnp.maximum(sum_r2_d - sum_r_d * sum_r_d / n, 0.0)
     ncc = num / jnp.sqrt(jnp.maximum(var_l[None] * var_r, eps))
+    # (near-)zero-variance windows: the reference's double-precision NCC
+    # divides 0/0 to NaN, which never wins its `<` tracker (`NCC.h:46,59`);
+    # mask them to the never-wins value so flat regions keep 0 disparity
+    # instead of amplified rounding noise.
+    degenerate = (var_l[None] < 0.01 * n) | (var_r < 0.01 * n)
+    ncc = jnp.where(degenerate, -2.0, ncc)
 
     cols = jnp.arange(wd)[None, None, :]
     ds = jnp.arange(disp_range)[:, None, None]
@@ -373,6 +383,11 @@ def census_transform(
     *global* image bounds for the out-of-image bit, so a halo-exchanged
     tiled run is bit-identical to the untiled run (parallel.tiled).
     """
+    if rows * cols > 63:
+        raise ValueError(
+            f"census window {rows}x{cols} needs {rows * cols} bits; the "
+            "two-word signature holds at most 63 (31 hi + 32 lo)"
+        )
     rr, rc = rows // 2, cols // 2
     h, w = img.shape
     if global_rows is None:

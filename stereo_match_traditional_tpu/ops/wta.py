@@ -52,10 +52,12 @@ def optimal_disparity(
     best = best_rel + (1 if exclude_d0 else 0)
     minval = jnp.take_along_axis(vol, best[None], axis=0)[0]
 
+    # secMin is seeded with cost[0] (`Sad.h:44`) and then takes the min over
+    # every cost != best; when cost[0] happens to equal the best cost the
+    # seed keeps secMin == min and the pixel is rejected.
     not_min = vol != minval[None]
     sec = jnp.min(jnp.where(not_min, vol, jnp.inf), axis=0)
-    # all costs equal -> reference secMin stays == min -> rejected
-    sec = jnp.where(jnp.isinf(sec), minval, sec)
+    sec = jnp.minimum(vol[0], sec)
 
     reject = (sec - minval <= uniqueness_eps) | (best == 0) | (best == d - 1)
 

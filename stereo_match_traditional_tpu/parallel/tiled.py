@@ -87,7 +87,6 @@ def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
         le, re, cfg.disp_range, cfg.win_size, cfg.invalid_mode, cfg.eps,
         row_offset=ro_ext, global_rows=rows,
     )
-    vol = jnp.where(jnp.isnan(vol), -2.0, vol)
     disp = jnp.where(interior, wta.wta(vol, "max"), 0.0)
     return {"disp_left": crop_row_halo(disp, halo, 0)}
 
@@ -182,6 +181,32 @@ _POST = {
 }
 
 
+def _check_tiled_support(name: str, cfg) -> None:
+    """The tile cores implement the *active* reference paths; reject config
+    variants they would otherwise silently ignore (run the untiled pipeline
+    or `parallel.gspmd` for those — GSPMD supports every variant)."""
+    unsupported = None
+    if name == "ncc" and cfg.variant != "window":
+        unsupported = f"ncc variant={cfg.variant!r}"
+    elif name == "asw" and cfg.variant != "bilateral":
+        unsupported = f"asw variant={cfg.variant!r}"
+    elif name == "cblsm" and (cfg.cost != "ad" or cfg.aggregation != "rect_mean"):
+        unsupported = f"cblsm cost={cfg.cost!r} aggregation={cfg.aggregation!r}"
+    elif name == "ad_census" and cfg.aggregation not in (
+        "rect_mean", "cross_two_pass", "none"
+    ):
+        raise ValueError(
+            f"unknown aggregation {cfg.aggregation!r}; "
+            "expected 'rect_mean', 'cross_two_pass' or 'none'"
+        )
+    if unsupported is not None:
+        raise NotImplementedError(
+            f"tiled execution does not implement {unsupported}; use the "
+            "untiled pipeline or parallel.gspmd_pipeline (semantics-exact "
+            "for every variant)"
+        )
+
+
 def tiled_pipeline(name: str, cfg, mesh: Mesh, axis_name: str = "tile"):
     """Build a jittable ``(left, right) -> StereoResult`` running ``name``
     tile-data-parallel over ``mesh[axis_name]``.
@@ -193,6 +218,7 @@ def tiled_pipeline(name: str, cfg, mesh: Mesh, axis_name: str = "tile"):
     receptive fields, and at [H, W] it is cheap relative to the [D, H, W]
     volume stages.
     """
+    _check_tiled_support(name, cfg)
     core = _TILE_CORES[name]
     halo = receptive_field_rows(name, cfg)
     n = mesh.shape[axis_name]

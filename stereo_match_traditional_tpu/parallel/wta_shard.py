@@ -70,12 +70,12 @@ def optimal_disparity_sharded(
     minval = lax.pmin(local_val, axis_name)
     best = lax.pmin(jnp.where(local_val == minval, gd, _BIG_IDX), axis_name)
 
-    # second minimum over every cost != minval (`Sad.h:44,55-64`), on the
-    # *unmasked* volume (the reference seeds secMin with cost[0]).
+    # second minimum over every cost != minval, seeded with the global
+    # cost[0] (`Sad.h:44,55-64`) — the d=0 shard contributes the seed.
     not_min = vol_local != minval[None]
     sec_local = jnp.min(jnp.where(not_min, vol_local, jnp.inf), axis=0)
+    sec_local = jnp.where(idx == 0, jnp.minimum(sec_local, vol_local[0]), sec_local)
     sec = lax.pmin(sec_local, axis_name)
-    sec = jnp.where(jnp.isinf(sec), minval, sec)
 
     reject = (sec - minval <= uniqueness_eps) | (best == 0) | (best == d_total - 1)
 

@@ -157,7 +157,8 @@ def optimal_disparity(costs, disp_range, eps=0.01, subpixel=False, exclude_d0=Tr
     best = start + int(np.argmin(costs[start:]))
     minv = costs[best]
     others = costs[costs != minv]
-    sec = others.min() if others.size else minv
+    # secMin seeded with costs[0] (`Sad.h:44`) before the != min filter
+    sec = min(others.min(), costs[0]) if others.size else costs[0]
     if sec - minv <= eps:
         return 0.0
     if best == 0 or best == disp_range - 1:
@@ -393,17 +394,20 @@ def lr_check_simple(dl, dr, gate, invalid_value):
 
 
 def remove_speckles(disp, diff, min_area, invalid_value, background=None):
-    """BFS transliteration of `PostProcessing.h:250-311`."""
+    """BFS transliteration of `PostProcessing.h:250-311` / `Sad.h:251-315`.
+
+    ``background`` pixels are skipped as *seeds* only (`Sad.h:265`); they
+    still join components via neighbors and count toward the area.
+    """
     h, w = disp.shape
     d = disp.astype(np.float64)
     valid = np.isfinite(d) & (d != invalid_value)
-    if background is not None:
-        valid &= d != background
+    seed_ok = valid if background is None else (valid & (d != background))
     visited = np.zeros((h, w), bool)
     out = d.copy()
     for i in range(h):
         for j in range(w):
-            if visited[i, j] or not valid[i, j]:
+            if visited[i, j] or not seed_ok[i, j]:
                 continue
             comp = [(i, j)]
             visited[i, j] = True

@@ -126,3 +126,24 @@ def test_fill_image_last_vertical():
     d = np.array([[0], [3], [0]], np.float32)
     got = np.asarray(post.fill_image_last(d))
     np.testing.assert_array_equal(got, [[3], [3], [3]])
+
+
+def test_remove_speckles_background_joins_components():
+    """Background pixels are skipped as seeds only (`Sad.h:265`): a small
+    nonzero blob adjacent to zeros absorbs them, exceeds the threshold, and
+    survives — and an all-zero region is never visited."""
+    d = np.zeros((7, 9), np.float32)
+    d[3, 3:6] = 1.0  # 3 nonzero pixels in a sea of zeros
+    out = np.asarray(
+        post.remove_speckles(d, 1.0, 10, invalid_value=np.inf, background=0.0)
+    )
+    # |0-1| <= 1 so every neighboring zero joins; area >> 10 -> all survive
+    np.testing.assert_array_equal(out, d)
+
+
+def test_fill_image_second_times_keeps_nonzero_low_values():
+    """Nonzero pixels <= threshold read themselves at offset 0 (`Sad.h:510`)
+    and keep their value; only zeros are filled."""
+    d = np.array([[15.0, 0.0, 30.0, 5.0, 0.0]], np.float32)
+    out = np.asarray(post.fill_image_second_times(d, threshold=20.0))
+    np.testing.assert_array_equal(out, [[15.0, 30.0, 30.0, 5.0, 20.0]])

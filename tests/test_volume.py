@@ -133,3 +133,18 @@ def test_border_fill_matches_prev_copy():
             if d > j:
                 want[d, :, j] = want[d - 1, :, j]
     np.testing.assert_array_equal(got, want)
+
+
+def test_ncc_flat_region_never_wins():
+    """(Near-)zero-variance windows map to the never-wins value, matching
+    the reference's NaN-never-wins semantics (`NCC.h:46,59`)."""
+    L = np.full((20, 30), 200, np.uint8)
+    R = np.full((20, 30), 200, np.uint8)
+    vol, interior = volume.ncc_volume(L, R, 6, 3)
+    inside = np.broadcast_to(np.asarray(interior)[None], vol.shape)
+    assert float(np.asarray(vol)[inside].max()) <= -2.0
+
+
+def test_census_window_too_large_raises():
+    with pytest.raises(ValueError):
+        volume.census_transform(np.zeros((8, 8), np.uint8), 11, 9)

@@ -49,3 +49,14 @@ def test_wta_max_mode():
     got = np.asarray(wta.wta(vol, "max"))
     want = np.argmax(vol, axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_optimal_disparity_secmin_seed():
+    """secMin is seeded with cost[0] (`Sad.h:44`): when cost[0] equals the
+    winning cost the uniqueness test must reject the pixel."""
+    import jax.numpy as jnp
+    from stereo_match_traditional_tpu.ops import wta
+
+    vol = jnp.asarray(np.array([5.0, 5.0, 9.0, 7.0], np.float32)).reshape(4, 1, 1)
+    out = float(wta.optimal_disparity(vol, 0.01, False)[0, 0])
+    assert out == 0.0
