@@ -57,6 +57,12 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    try:  # persistent compile cache: repeated driver runs skip the ~2 min
+        # remote compile of the looped benchmark programs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from stereo_match_traditional_tpu.models import get_pipeline

@@ -262,6 +262,9 @@ def tiled_pipeline(name: str, cfg, mesh: Mesh, axis_name: str = "tile"):
     return run
 
 
+_TILED_CACHE = {}
+
+
 def run_tiled(
     name: str,
     left,
@@ -270,7 +273,12 @@ def run_tiled(
     mesh: Optional[Mesh] = None,
     axis_name: str = "tile",
 ) -> StereoResult:
-    """One-shot convenience wrapper around :func:`tiled_pipeline`."""
+    """One-shot convenience wrapper around :func:`tiled_pipeline`.
+
+    The jitted program is cached per (name, cfg, mesh, axis) — configs are
+    frozen dataclasses and meshes hash by device assignment, so repeated
+    calls reuse the compiled executable instead of re-tracing.
+    """
     if cfg is None:
         from stereo_match_traditional_tpu.models.registry import get_pipeline
 
@@ -279,7 +287,10 @@ def run_tiled(
         from stereo_match_traditional_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_names=(axis_name,))
-    fn = jax.jit(tiled_pipeline(name, cfg, mesh, axis_name))
+    key = (name, cfg, mesh, axis_name)
+    fn = _TILED_CACHE.get(key)
+    if fn is None:
+        fn = _TILED_CACHE[key] = jax.jit(tiled_pipeline(name, cfg, mesh, axis_name))
     return fn(jnp.asarray(left), jnp.asarray(right))
 
 
