@@ -237,6 +237,9 @@ def _rect_sums_shared_bounds(vol: jax.Array, i0, i1, j0, j1) -> jax.Array:
     flat = sat.reshape(d, hp * wp).T                       # [(Hp*Wp), D]
     out_shape = i0.shape
 
+    # four separate gathers: a single fused gather over the concatenated
+    # corner indices measured 1.6x *slower* (9.99 vs 6.26 ms end to end) —
+    # the interleaved far-apart corners defeat gather coalescing
     def g(ii, jj):
         return flat[(ii * wp + jj).reshape(-1)]            # [H*W, D]
 

@@ -40,6 +40,7 @@ def _directional_pass(
     p1: float,
     p2_init: float,
     l2_uses_dm1: bool = True,
+    unroll: int = 4,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One directional pass.
 
@@ -48,13 +49,15 @@ def _directional_pass(
     carry) — the carry (last aggregated column and its min) is what a
     cross-tile continuation would hand to the next device; the sharded
     implementation reshards with all_to_all instead (parallel.scan_carry).
+
+    ``unroll`` recurrence steps run per `lax.scan` iteration (the chain is
+    strictly sequential, so this only amortizes per-step scan overhead —
+    results are bit-identical for any unroll).
     """
     prev_g = jnp.concatenate([gray[:1], gray[:-1]], axis=0)
     p2 = jnp.maximum(p1, p2_init / (jnp.abs(gray - prev_g) + 1.0))  # [N, ...]
 
-    def body(carry, xs):
-        prev, prev_min = carry  # [..., D], [...]
-        c, p2_col = xs          # [..., D], [...]
+    def step(prev, prev_min, c, p2_col):
         inf_col = jnp.full(prev.shape[:-1] + (1,), _BIG)
         l1 = prev
         if l2_uses_dm1:
@@ -69,12 +72,35 @@ def _directional_pass(
             + jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
             - prev_min[..., None]
         )
-        return (out, jnp.min(out, axis=-1)), out
+        return out, jnp.min(out, axis=-1)
 
     first = cost[0]
     carry0 = (first, jnp.min(first, axis=-1))
-    carry, ys = jax.lax.scan(body, carry0, (cost[1:], p2[1:]))
-    return jnp.concatenate([first[None], ys], axis=0), carry
+    n = cost.shape[0]
+    k = max(1, unroll)
+    main = ((n - 1) // k) * k
+
+    def body(carry, xs):
+        prev, prev_min = carry
+        cs, ps = xs             # [k, ..., D], [k, ...]
+        outs = []
+        for t in range(k):
+            prev, prev_min = step(prev, prev_min, cs[t], ps[t])
+            outs.append(prev)
+        return (prev, prev_min), jnp.stack(outs)
+
+    chunk_shape = (main // k, k)
+    xs_main = (
+        cost[1 : 1 + main].reshape(chunk_shape + cost.shape[1:]),
+        p2[1 : 1 + main].reshape(chunk_shape + p2.shape[1:]),
+    )
+    carry, ys = jax.lax.scan(body, carry0, xs_main)
+    pieces = [first[None], ys.reshape((main,) + cost.shape[1:])]
+    for t in range(1 + main, n):  # remainder, at most k-1 steps
+        out, out_min = step(carry[0], carry[1], cost[t], p2[t])
+        carry = (out, out_min)
+        pieces.append(out[None])
+    return jnp.concatenate(pieces, axis=0), carry
 
 
 def scanline_optimize(
