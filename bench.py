@@ -54,6 +54,11 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=375)
     ap.add_argument("--cols", type=int, default=450)
     ap.add_argument("--disp", type=int, default=60)
+    ap.add_argument(
+        "--multichip", action="store_true",
+        help="also measure the tile-DP sharded path over every available "
+        "device and report scaling efficiency vs 1 device",
+    )
     args = ap.parse_args()
 
     import jax
@@ -93,6 +98,22 @@ def main() -> None:
         "unit": "MPixDisp/s",
         "vs_baseline": round(mpixdisp / baseline, 2) if baseline else None,
     }
+
+    if args.multichip and len(jax.devices()) > 1:
+        from stereo_match_traditional_tpu.parallel import make_mesh, tiled_pipeline
+
+        n = len(jax.devices())
+        mesh = make_mesh(n, ("tile",))
+        sharded = jax.jit(tiled_pipeline(args.pipeline, cfg, mesh))
+        sec_n = device_time(
+            lambda l, r: sharded(l, r).disp_left, (left, right)
+        )
+        result["devices"] = n
+        result["sharded_value"] = round(
+            args.rows * args.cols * args.disp / sec_n / 1e6, 2
+        )
+        result["scaling_efficiency"] = round(sec / (sec_n * n), 3)
+
     print(json.dumps(result))
 
 

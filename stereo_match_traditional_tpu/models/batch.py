@@ -5,6 +5,12 @@ The reference processes exactly one hard-coded pair per run
 any pipeline over a batch axis (one `vmap`, still a single XLA program, so
 the MXU/VPU see batched work) and overlaps host decode with device compute
 through the native threaded pair loader (`utils/native.PairLoader`).
+
+Measured guidance (v5e, Teddy workload): the flagship is HBM-bound at
+single-pair sizes already, and vmap makes its SAT gathers batched and
+slower (11.6 ms/pair at batch 8 vs 6.3 ms single) — prefer ``batch_size=1``
+streams for ad_census/cblsm; batching pays off for small images or the
+window pipelines whose per-pair device time is dominated by fixed overhead.
 """
 
 from __future__ import annotations
