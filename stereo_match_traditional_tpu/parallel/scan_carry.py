@@ -47,11 +47,11 @@ def scanline_optimize_sharded(
         true_rows = h_pad_total
 
     # --- horizontal passes: rows are local, scan over W ------------------
-    c_whd = jnp.transpose(cost, (2, 1, 0))            # [W, H_t, D]
+    c_wdh = jnp.transpose(cost, (2, 0, 1))            # [W, D, H_t]
     g_wh = gray.astype(jnp.float32).T                 # [W, H_t]
-    lr, _ = _directional_pass(c_whd, g_wh, p1, p2, True)
-    rl, _ = _directional_pass(c_whd[::-1], g_wh[::-1], p1, p2, True)
-    horiz = jnp.transpose(lr + rl[::-1], (2, 1, 0))   # [D, H_t, W]
+    lr, _ = _directional_pass(c_wdh, g_wh, p1, p2, True)
+    rl, _ = _directional_pass(c_wdh[::-1], g_wh[::-1], p1, p2, True)
+    horiz = jnp.transpose(lr + rl[::-1], (1, 2, 0))   # [D, H_t, W]
 
     # --- vertical passes: reshard rows -> columns, scan over H -----------
     pad_w = (-w) % n
@@ -63,10 +63,10 @@ def scanline_optimize_sharded(
     cost_c = cost_c[:, :true_rows]
     gray_c = gray_c[:true_rows]
 
-    c_hwd = jnp.transpose(cost_c, (1, 2, 0))          # [H, W_t, D]
-    ud, _ = _directional_pass(c_hwd, gray_c, p1, p2, vert_dm1)
-    du, _ = _directional_pass(c_hwd[::-1], gray_c[::-1], p1, p2, vert_dm1)
-    vert = jnp.transpose(ud + du[::-1], (2, 0, 1))    # [D, H, W_t]
+    c_hdw = jnp.transpose(cost_c, (1, 0, 2))          # [H, D, W_t]
+    ud, _ = _directional_pass(c_hdw, gray_c, p1, p2, vert_dm1)
+    du, _ = _directional_pass(c_hdw[::-1], gray_c[::-1], p1, p2, vert_dm1)
+    vert = jnp.transpose(ud + du[::-1], (1, 0, 2))    # [D, H, W_t]
 
     vert = jnp.pad(vert, ((0, 0), (0, h_pad_total - true_rows), (0, 0)))
     # [D, H, Wp/n] -> [D, H_t, Wp] and drop the width padding
