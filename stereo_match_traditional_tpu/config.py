@@ -111,6 +111,9 @@ class ScanlineConfig:
     p1: float = 10.0                 # main.cpp:28
     p2: float = 150.0                # main.cpp:29 (adaptive: max(p1, p2/(|dI|+1)))
     faithful_vertical_l2: bool = False
+    faithful_vertical_p2: bool = False  # ScanLineUpDown never updates grayLast
+                                     # (ScanlineOptimizer.h:210,232): vertical
+                                     # P2 adapts to the *column-start* pixel
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,10 +26,12 @@ def asw_post(disp_l, disp_r, cfg: ASWConfig):
     lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, invalid_value=0.0)
     d = _minmax_u8(lr.disp)
     d = post.remove_speckles(
-        d, cfg.speckle_diff, cfg.speckle_area + 1, invalid_value=0.0
+        d, cfg.speckle_diff, cfg.speckle_area + 1, invalid_value=0.0,
+        connectivity=4,
     )
-    # OpenCV filterSpeckles removes blobs of size <= maxSpeckleSize (40);
-    # remove_speckles kills size < min_area, hence the +1 above.
+    # OpenCV filterSpeckles removes blobs of size <= maxSpeckleSize (40)
+    # using 4-connectivity; remove_speckles kills size < min_area, hence
+    # the +1 above.
     d = post.median_filter(d, cfg.median_first, border="replicate")
     d = post.fill_image_new(d)
     d = post.median_filter(d, cfg.median_second, border="replicate")

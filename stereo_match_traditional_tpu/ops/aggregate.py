@@ -204,7 +204,14 @@ def canonical_cross_arms(
 
 
 def _sat(x: jax.Array) -> jax.Array:
-    """Summed-area table with a zero border: S[..., i, j] = sum x[..., :i, :j]."""
+    """Summed-area table with a zero border: S[..., i, j] = sum x[..., :i, :j].
+
+    Rectangle sums are differences of f32 cumulants (~3e5 at the tail of a
+    Teddy-sized AD-Census slice, ulp ~0.03) — a precision/throughput trade
+    vs the reference's direct per-window summation, bounded by the
+    bad-pixel-rate parity budget (SURVEY.md §4); revisit with compensated
+    sums if volumes grow to unnormalized SAD magnitudes at 4K sizes.
+    """
     c = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
     c = jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)])
     return c
@@ -279,7 +286,10 @@ def rect_mean_aggregate(
     j0 = jnp.clip(j0, 0, w - 1)
     j1 = jnp.clip(j1, 0, w - 1)
     total = _rect_sums_shared_bounds(vol, i0, i1, j0, j1)
-    return total / jnp.maximum(count, 1).astype(vol.dtype)
+    mean = total / jnp.maximum(count, 1).astype(vol.dtype)
+    # empty exclusive regions at borders (e.g. up=down=0 at row 0) clip to a
+    # spurious strip; the reference divides 0/0 there — keep the centre cost
+    return jnp.where(count > 0, mean, vol)
 
 
 # ---------------------------------------------------------------------------
@@ -467,14 +477,11 @@ def cblsm_arm_volumes(
     disabled at `CBLSM.cpp:108-111`).  Returns int32 [D, H, W] volumes
     (left, right, up, down) with the reference's exact (quirky) bounds.
     """
-    h, w = arms_l.left.shape
     d = jnp.arange(disp_range)[:, None, None].astype(jnp.int32)
     ll, lr = arms_l.left[None], arms_l.right[None]
-    lup, ldn = arms_l.up[None], arms_l.down[None]
     # right-image arms sampled at the *same* column (the reference indexes
     # ArmR* at (i, j), not (i, j-d) — `CBLSM.h:74-76`)
     rl, rr = arms_r.left[None], arms_r.right[None]
-    rup, rdn = arms_r.up[None], arms_r.down[None]
 
     # Left extent (`CBLSM.h:65-102`): 0 if d > RL or d > RR, else the count
     # of a in 1..LL with a <= RL - d.
@@ -483,13 +490,10 @@ def cblsm_arm_volumes(
     )
 
     # Right extent (`CBLSM.h:104-148`): precondition d <= RL (the commented
-    # j+d check is disabled); count of a in 1..LR with a >= d - RL (only
-    # a=1.. so requires d - RL <= 1) and a < RR + d.
-    vol_r = jnp.where(
-        d > rl,
-        0,
-        jnp.where(d - rl > 1, 0, jnp.clip(jnp.minimum(lr, rr + d - 1), 0)),
-    )
+    # j+d check is disabled, and it also forces d - RL <= 0 so the loop's
+    # a >= d - RL condition always holds); count of a in 1..LR with
+    # a < RR + d.
+    vol_r = jnp.where(d > rl, 0, jnp.clip(jnp.minimum(lr, rr + d - 1), 0))
 
     # Up extent (`chooseArmLengthUp`, `CBLSM.h:151-192`): the count is
     # zeroed when LUp > RUp (the else branch resets saveValue before

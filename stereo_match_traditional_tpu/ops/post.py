@@ -107,6 +107,7 @@ def remove_speckles(
     invalid_value: float = INVALID,
     background: Optional[float] = None,
     max_iters: int = 256,
+    connectivity: int = 8,
 ) -> jax.Array:
     """Connected-component speckle filter (`SAD/Sad.h:251-315`,
     `AD-CensusV1/PostProcessing.h:250-311`; also covers OpenCV
@@ -122,9 +123,14 @@ def remove_speckles(
     visited and survives.
 
     The BFS becomes iterative min-label flooding via segmented min-scans
-    along connected runs plus an 8-neighbor glue step, iterated to the
-    fixpoint with `lax.while_loop`.
+    along connected runs (all four directions; diagonals on sheared views),
+    iterated to the fixpoint with `lax.while_loop` (bounded by
+    ``max_iters``).  ``connectivity=4`` restricts edges to the axis
+    neighbors — OpenCV ``filterSpeckles`` semantics (the ASW driver's
+    `ASWeight.cpp:73`); the reference's own BFS variants are 8-connected.
     """
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     h, w = disp.shape
     d = disp.astype(jnp.float32)
     valid = jnp.isfinite(d) & (d != invalid_value)
@@ -151,10 +157,11 @@ def remove_speckles(
     # become columns — the same pad-reshape relayout the hole filler uses).
     conn_l = edges[_NEIGHBORS_8.index((0, -1))]
     conn_u = edges[_NEIGHBORS_8.index((-1, 0))]
-    conn_d1 = edges[_NEIGHBORS_8.index((-1, 1))]   # anti-diagonal pred
-    conn_d2 = edges[_NEIGHBORS_8.index((-1, -1))]  # main-diagonal pred
-    sc_d1, _ = _shear(conn_d1, True, False)
-    sc_d2, _ = _shear(conn_d2, False, False)
+    if connectivity == 8:
+        conn_d1 = edges[_NEIGHBORS_8.index((-1, 1))]   # anti-diagonal pred
+        conn_d2 = edges[_NEIGHBORS_8.index((-1, -1))]  # main-diagonal pred
+        sc_d1, _ = _shear(conn_d1, True, False)
+        sc_d2, _ = _shear(conn_d2, False, False)
 
     def _seg_op(a, b):
         # segmented running min; flags must OR for associativity
@@ -187,7 +194,7 @@ def remove_speckles(
         return _unshear(ls, h, w, anti, big)
 
     def step(state):
-        labels, _ = state
+        labels, _, it = state
         # sweep run minima along all four directions (full connected-run
         # reach per sweep; a neighbor-shift glue step only moves one pixel
         # per iteration and needed ~14 iterations on real maps vs ~4 here)
@@ -195,14 +202,17 @@ def remove_speckles(
         new = _run_min(new, conn_l, 1, True)
         new = _run_min(new, conn_u, 0, False)
         new = _run_min(new, conn_u, 0, True)
-        new = _diag_min(new, sc_d1, True)
-        new = _diag_min(new, sc_d2, False)
-        return new, jnp.any(new != labels)
+        if connectivity == 8:
+            new = _diag_min(new, sc_d1, True)
+            new = _diag_min(new, sc_d2, False)
+        return new, jnp.any(new != labels), it + 1
 
     def cond(state):
-        return state[1]
+        return state[1] & (state[2] < max_iters)
 
-    labels, _ = jax.lax.while_loop(cond, step, (labels0, jnp.bool_(True)))
+    labels, _, _ = jax.lax.while_loop(
+        cond, step, (labels0, jnp.bool_(True), jnp.int32(0))
+    )
 
     flat_labels = jnp.where(valid, labels, big).reshape(-1)
     counts = jnp.zeros(h * w + 1, jnp.int32).at[flat_labels].add(

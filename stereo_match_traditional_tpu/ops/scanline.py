@@ -41,6 +41,7 @@ def _directional_pass(
     p2_init: float,
     l2_uses_dm1: bool = True,
     unroll: int = 4,
+    p2_ref: str = "prev",
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One directional pass.
 
@@ -57,7 +58,13 @@ def _directional_pass(
     strictly sequential, so this only amortizes per-step scan overhead —
     results are bit-identical for any unroll).
     """
-    prev_g = jnp.concatenate([gray[:1], gray[:-1]], axis=0)
+    if p2_ref == "first":
+        # reference vertical quirk: ScanLineUpDown assigns grayLast once at
+        # the column start and never updates it (`ScanlineOptimizer.h:210`,
+        # read at `:232`), so P2 adapts to |I(p) - I(first pixel of path)|
+        prev_g = jnp.broadcast_to(gray[:1], gray.shape)
+    else:
+        prev_g = jnp.concatenate([gray[:1], gray[:-1]], axis=0)
     p2 = jnp.maximum(p1, p2_init / (jnp.abs(gray - prev_g) + 1.0))  # [N, ...]
 
     def step(prev, prev_min, c, p2_col):
@@ -116,6 +123,7 @@ def scanline_optimize(
     """
     p1, p2 = cfg.p1, cfg.p2
     vert_dm1 = not cfg.faithful_vertical_l2
+    vert_p2 = "first" if cfg.faithful_vertical_p2 else "prev"
 
     # Four separate scans: stacking the forward/backward passes into one
     # scan over a [N, 2, ...] layout measured 50x slower on v5e (and 6
@@ -130,8 +138,8 @@ def scanline_optimize(
     # vertical: scan over H; body [D, W] (columns on the lane axis).
     c_hdw = jnp.transpose(cost, (1, 0, 2))          # [H, D, W]
     g_hw = gray.astype(jnp.float32)                 # [H, W]
-    ud, _ = _directional_pass(c_hdw, g_hw, p1, p2, vert_dm1)
-    du, _ = _directional_pass(c_hdw[::-1], g_hw[::-1], p1, p2, vert_dm1)
+    ud, _ = _directional_pass(c_hdw, g_hw, p1, p2, vert_dm1, p2_ref=vert_p2)
+    du, _ = _directional_pass(c_hdw[::-1], g_hw[::-1], p1, p2, vert_dm1, p2_ref=vert_p2)
     vert = ud + du[::-1]                            # [H, D, W]
 
     return jnp.transpose(horiz, (1, 2, 0)) + jnp.transpose(vert, (1, 0, 2))

@@ -40,6 +40,7 @@ def scanline_optimize_sharded(
     """
     p1, p2 = cfg.p1, cfg.p2
     vert_dm1 = not cfg.faithful_vertical_l2
+    vert_p2 = "first" if cfg.faithful_vertical_p2 else "prev"
     n = lax.axis_size(axis_name)
     d, h_t, w = cost.shape
     h_pad_total = h_t * n
@@ -64,8 +65,8 @@ def scanline_optimize_sharded(
     gray_c = gray_c[:true_rows]
 
     c_hdw = jnp.transpose(cost_c, (1, 0, 2))          # [H, D, W_t]
-    ud, _ = _directional_pass(c_hdw, gray_c, p1, p2, vert_dm1)
-    du, _ = _directional_pass(c_hdw[::-1], gray_c[::-1], p1, p2, vert_dm1)
+    ud, _ = _directional_pass(c_hdw, gray_c, p1, p2, vert_dm1, p2_ref=vert_p2)
+    du, _ = _directional_pass(c_hdw[::-1], gray_c[::-1], p1, p2, vert_dm1, p2_ref=vert_p2)
     vert = jnp.transpose(ud + du[::-1], (1, 0, 2))    # [D, H, W_t]
 
     vert = jnp.pad(vert, ((0, 0), (0, h_pad_total - true_rows), (0, 0)))

@@ -72,3 +72,15 @@ def test_arm_bounds():
     assert (np.asarray(arms.right) <= w - 1 - jj).all()
     assert (np.asarray(arms.up) <= ii).all()
     assert (np.asarray(arms.down) <= h - 1 - ii).all()
+
+
+def test_rect_mean_exclusive_empty_region_keeps_center():
+    """inclusive=False with up=down=0 at a border row: the clipped-empty
+    rectangle must keep the centre cost (the reference divides 0/0)."""
+    import jax.numpy as jnp
+
+    vol = jnp.asarray(np.arange(2 * 2 * 3, dtype=np.float32).reshape(2, 2, 3))
+    zeros = jnp.zeros((2, 3), jnp.int32)
+    arms = aggregate.Arms(left=zeros, right=zeros, up=zeros, down=zeros)
+    out = np.asarray(aggregate.rect_mean_aggregate(vol, arms, inclusive=False))
+    np.testing.assert_array_equal(out, np.asarray(vol))

@@ -147,3 +147,23 @@ def test_fill_image_second_times_keeps_nonzero_low_values():
     d = np.array([[15.0, 0.0, 30.0, 5.0, 0.0]], np.float32)
     out = np.asarray(post.fill_image_second_times(d, threshold=20.0))
     np.testing.assert_array_equal(out, [[15.0, 30.0, 30.0, 5.0, 20.0]])
+
+
+def test_remove_speckles_connectivity4():
+    """4-connectivity (OpenCV filterSpeckles): corner-touching blobs stay
+    separate components; 8-connectivity merges them."""
+    d = np.full((8, 8), np.inf, np.float32)
+    d[1:3, 1:3] = 5.0   # 4 pixels
+    d[3:5, 3:5] = 5.0   # 4 pixels, touching only at corner (2,2)-(3,3)
+    got4 = np.asarray(post.remove_speckles(d, 1.0, 6, invalid_value=np.inf, connectivity=4))
+    assert not np.isfinite(got4).any()  # two components of 4 < 6: both die
+    got8 = np.asarray(post.remove_speckles(d, 1.0, 6, invalid_value=np.inf, connectivity=8))
+    assert np.isfinite(got8).sum() == 8  # one 8-connected component of 8 >= 6
+
+
+def test_remove_speckles_max_iters_bounds_loop():
+    d = np.where(np.eye(64) > 0, 1.0, np.inf).astype(np.float32)
+    out = np.asarray(
+        post.remove_speckles(d, 1.0, 2, invalid_value=np.inf, max_iters=1)
+    )
+    assert out.shape == (64, 64)  # bounded loop returns (possibly unconverged)

@@ -45,3 +45,47 @@ def test_constant_cost_stays_constant():
     gray = np.zeros((h, w), np.float32)
     out = np.asarray(scanline.scanline_optimize(cost, gray, ScanlineConfig(p1=10, p2=150)))
     assert (np.argmin(out, axis=0) == 2).all()
+
+
+def test_faithful_vertical_p2_uses_column_start():
+    """`ScanLineUpDown` never updates grayLast (`ScanlineOptimizer.h:210,232`):
+    with the quirk flag, vertical P2 adapts to the column-start pixel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stereo_match_traditional_tpu.config import ScanlineConfig
+    from stereo_match_traditional_tpu.ops.scanline import scanline_optimize
+
+    rng = np.random.default_rng(0)
+    cost = rng.random((3, 6, 1)).astype(np.float32)  # [D, H, W=1]
+    gray = rng.integers(0, 256, (6, 1)).astype(np.float32)
+
+    # manual single-column recurrence, quirky P2 (|I(p) - I(row 0)|)
+    def vert_pass(c, g, rows):
+        p1, p2i = 10.0, 150.0
+        agg = np.zeros_like(c)
+        agg[:, rows[0]] = c[:, rows[0]]
+        prev = c[:, rows[0]].copy()
+        g0 = g[rows[0]]
+        for i in rows[1:]:
+            p2 = max(p1, p2i / (abs(g[i] - g0) + 1.0))
+            pmin = prev.min()
+            out = np.empty(3, np.float32)
+            for d in range(3):
+                l1 = prev[d]
+                l2 = prev[d] + p1          # faithful vertical l2 quirk
+                l3 = prev[d + 1] + p1 if d + 1 < 3 else np.inf
+                l4 = pmin + p2
+                out[d] = c[d, i] + min(l1, l2, l3, l4) - pmin
+            agg[:, i] = out
+            prev = out
+        return agg
+
+    c = cost[:, :, 0]
+    g = gray[:, 0]
+    want_vert = vert_pass(c, g, list(range(6))) + vert_pass(c, g, list(range(5, -1, -1)))
+    cfg = ScanlineConfig(faithful_vertical_l2=True, faithful_vertical_p2=True)
+    got = np.asarray(scanline_optimize(jnp.asarray(cost), jnp.asarray(gray), cfg))
+    # subtract the (quirk-free) horizontal contribution: W=1 so the
+    # horizontal passes are identity-ish: lr = rl = cost -> 2*cost
+    got_vert = got[:, :, 0] - 2.0 * c
+    np.testing.assert_allclose(got_vert, want_vert, rtol=1e-5, atol=1e-4)
