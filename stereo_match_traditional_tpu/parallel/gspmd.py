@@ -26,11 +26,11 @@ def gspmd_pipeline(
     mesh: Optional[Mesh] = None,
     axis_name: str = "tile",
 ):
-    """Jitted ``(left, right) -> StereoResult`` with rows sharded over
-    ``mesh[axis_name]`` and internal [D, H, W] volumes constrained to the
-    same row sharding (D replicated — the aggregation and WTA patterns keep
-    rows local; XLA materializes halos as collective-permutes where ops
-    reach across tile boundaries)."""
+    """Jitted ``(left, right) -> StereoResult`` with the input images
+    sharded row-wise over ``mesh[axis_name]``; internal layouts are chosen
+    by the XLA SPMD partitioner (it usually propagates the row sharding
+    with D replicated, but no layout is guaranteed — use
+    `parallel.tiled_pipeline` when the exact sharding matters)."""
     fn, cfg_cls = get_pipeline(name)
     if cfg is None:
         cfg = cfg_cls()
@@ -42,8 +42,6 @@ def gspmd_pipeline(
     img_sharding = NamedSharding(mesh, P(axis_name, None))
 
     def run(left, right):
-        left = jax.lax.with_sharding_constraint(left, img_sharding)
-        right = jax.lax.with_sharding_constraint(right, img_sharding)
         return fn(left, right, cfg)
 
     return jax.jit(run, in_shardings=(img_sharding, img_sharding))

@@ -99,8 +99,19 @@ def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
         color_sigma=cfg.color_sigma,
         truncation=cfg.truncation,
     )
-    disp_l = wta.wta(volume.asw_volume(le, re, **kw), "min")
-    disp_r = wta.wta(volume.asw_volume_right(le, re, **kw), "min")
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
+
+        vol_l = asw_volume_pallas(le, re, view="left", **kw)
+        vol_r = asw_volume_pallas(le, re, view="right", **kw)
+    else:
+        vol_l = volume.asw_volume(le, re, **kw)
+        vol_r = volume.asw_volume_right(le, re, **kw)
+    disp_l = wta.wta(vol_l, "min")
+    disp_r = wta.wta(vol_r, "min")
     return {
         "disp_left": crop_row_halo(disp_l, halo, 0),
         "disp_right": crop_row_halo(disp_r, halo, 0),
@@ -313,6 +324,11 @@ def ad_census_tile_disp(
     :func:`tiled_pipeline` with a 1-D mesh.
     """
     assert cfg.scanline is None, "scanline couples d±1; use the 1-D tile mesh"
+    if cfg.aggregation != "rect_mean":
+        raise NotImplementedError(
+            f"ad_census_tile_disp implements aggregation='rect_mean' only "
+            f"(got {cfg.aggregation!r}); use tiled_pipeline or gspmd_pipeline"
+        )
     halo = receptive_field_rows("ad_census", cfg)
     n_t = mesh.shape[tile_axis]
     n_d = mesh.shape[disp_axis]

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BIG_IDX = jnp.int32(2**30)
+_BIG_IDX = 2**30  # python int: no device work at import time
 
 
 def wta_sharded(

@@ -28,7 +28,13 @@ def imread(path: str) -> np.ndarray:
     img = np.asarray(_iio.imread(path))
     if img.ndim == 3 and img.shape[2] == 4:
         img = img[..., :3]
-    return img.astype(np.uint8)
+    if img.dtype == np.uint16:
+        # 16-bit sources (e.g. Middlebury ground-truth PNGs) scale down;
+        # a plain astype would wrap modulo 256
+        img = (img >> 8).astype(np.uint8)
+    elif img.dtype != np.uint8:
+        img = np.clip(np.round(img.astype(np.float64)), 0, 255).astype(np.uint8)
+    return img
 
 
 def imwrite(path: str, img: np.ndarray) -> None:

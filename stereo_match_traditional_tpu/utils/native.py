@@ -110,7 +110,7 @@ def rgb_to_gray_u8(img: np.ndarray) -> Optional[np.ndarray]:
 
 def rgb_to_lab_u8(img: np.ndarray) -> Optional[np.ndarray]:
     lib = _load()
-    if lib is None:
+    if lib is None or img.ndim != 3 or img.shape[-1] != 3:
         return None
     img = np.ascontiguousarray(img, np.uint8)
     out = np.empty_like(img)

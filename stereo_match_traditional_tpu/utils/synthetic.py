@@ -95,12 +95,18 @@ def make_pair(
 def bad_pixel_rate(
     disp: np.ndarray, gt: np.ndarray, thresh: float = 2.0, valid: np.ndarray = None
 ) -> float:
-    """Fraction of pixels with |disp - gt| > thresh (the bad-2.0 metric)."""
+    """Fraction of evaluated pixels with |disp - gt| > thresh (bad-2.0).
+
+    Non-finite disparities count as bad; pixels outside the caller's
+    ``valid`` mask (e.g. occluded ground truth) are excluded from both the
+    numerator and the denominator.
+    """
     disp = np.asarray(disp, dtype=np.float64)
     gt = np.asarray(gt, dtype=np.float64)
-    mask = np.isfinite(disp)
+    with np.errstate(invalid="ignore"):
+        bad = ~np.isfinite(disp) | (np.abs(disp - gt) > thresh)
     if valid is not None:
-        mask &= valid
-    err = np.abs(disp - gt) > thresh
-    bad = np.where(mask, err, True)
+        if not valid.any():
+            return 0.0
+        bad = bad[valid]
     return float(bad.mean())
