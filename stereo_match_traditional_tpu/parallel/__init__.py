@@ -17,3 +17,7 @@ from stereo_match_traditional_tpu.parallel.wta_shard import (  # noqa: F401
     optimal_disparity_sharded,
     wta_sharded,
 )
+from stereo_match_traditional_tpu.parallel.distributed import (  # noqa: F401
+    host_chip_mesh,
+    initialize,
+)
