@@ -241,3 +241,23 @@ def test_gspmd_pipeline_matches_single_device():
         both = np.isfinite(w) & np.isfinite(g)
         np.testing.assert_array_equal(np.isfinite(w), np.isfinite(g))
         np.testing.assert_allclose(g[both], w[both], atol=1e-5)
+
+
+def test_distributed_helpers_single_process():
+    """initialize() is a safe no-op single-process; host_chip_mesh builds
+    the (host, chip) mesh over all visible devices."""
+    from stereo_match_traditional_tpu.parallel import host_chip_mesh, initialize
+
+    initialize()
+    mesh = host_chip_mesh()
+    assert mesh.axis_names == ("host", "chip")
+    assert mesh.shape["host"] == 1 and mesh.shape["chip"] == 8
+    # and it drives a sharded pipeline end to end
+    L, R, _ = make_pair(32, 48, 8, seed=6)
+    got = run_tiled(
+        "sad", L, R, cfgs.SADConfig(max_disparity=8, winsize=1), mesh,
+        axis_name="chip",
+    )
+    fn, _ = get_pipeline("sad")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfgs.SADConfig(max_disparity=8, winsize=1))
+    assert _mismatch_fraction(got.disp_left, want.disp_left, ignore_cols=8) == 0.0
