@@ -21,9 +21,34 @@ import dataclasses
 import json
 import sys
 import time
+import typing
+
+
+def _coerce(val: str, typ):
+    """Coerce a ``--set`` string to the field's *resolved* type.  Optional
+    is unwrapped; bool is dispatched before int (bool is an int subclass,
+    and ``--set run_post=1`` must become True, not the int 1)."""
+    origin = typing.get_origin(typ)
+    if origin is typing.Union:  # Optional[T] and friends
+        members = [t for t in typing.get_args(typ) if t is not type(None)]
+        if val.lower() in ("none", "null"):
+            return None
+        typ = members[0] if members else str
+    if typ is bool:
+        if val.lower() in ("true", "1", "yes", "on"):
+            return True
+        if val.lower() in ("false", "0", "no", "off"):
+            return False
+        raise SystemExit(f"expected a bool, got {val!r}")
+    if typ is int:
+        return int(val)
+    if typ is float:
+        return float(val)
+    return val
 
 
 def _parse_set(cfg_cls, overrides):
+    hints = typing.get_type_hints(cfg_cls)
     fields = {f.name: f for f in dataclasses.fields(cfg_cls)}
     kw = {}
     for item in overrides or []:
@@ -35,15 +60,7 @@ def _parse_set(cfg_cls, overrides):
                 f"unknown config field {key!r} for {cfg_cls.__name__}; "
                 f"have {sorted(fields)}"
             )
-        typ = fields[key].type
-        if val.lower() in ("true", "false"):
-            kw[key] = val.lower() == "true"
-        elif "int" in str(typ):
-            kw[key] = int(val)
-        elif "float" in str(typ):
-            kw[key] = float(val)
-        else:
-            kw[key] = val
+        kw[key] = _coerce(val, hints.get(key, str))
     return kw
 
 
@@ -116,9 +133,19 @@ def cmd_run(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import os
     import subprocess
 
-    cmd = [sys.executable, "bench.py", "--pipeline", args.pipeline]
+    import stereo_match_traditional_tpu as pkg
+
+    # bench.py lives at the repo root (next to the package dir), not inside
+    # the installed package — resolve it there so `stereo bench` works from
+    # any CWD.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    bench = os.path.join(repo_root, "bench.py")
+    if not os.path.exists(bench):
+        raise SystemExit(f"bench harness not found at {bench}")
+    cmd = [sys.executable, bench, "--pipeline", args.pipeline]
     return subprocess.call(cmd)
 
 

@@ -463,7 +463,10 @@ def fill_image_second_times(disp: jax.Array, threshold: float = 20.0) -> jax.Arr
     valid = d != 0
     rv, _, rf = _nearest_valid_along_axis(d, valid, 1, reverse=True)
     fill = jnp.where(rf, rv, threshold)
-    return jnp.where((d == 0) & (d <= threshold), fill, d)
+    # The reference's `<= threshold` gate is absorbed by the self-read at
+    # offset 0: a nonzero low pixel always "fills" with its own value, so
+    # the only pixels that can change are the zeros.
+    return jnp.where(d == 0, fill, d)
 
 
 def fill_image_last(disp: jax.Array) -> jax.Array:

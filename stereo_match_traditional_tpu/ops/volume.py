@@ -265,11 +265,15 @@ def ncc_volume(
     var_l = jnp.maximum(sum_l2 - sum_l * sum_l / n, 0.0)
     var_r = jnp.maximum(sum_r2_d - sum_r_d * sum_r_d / n, 0.0)
     ncc = num / jnp.sqrt(jnp.maximum(var_l[None] * var_r, eps))
-    # (near-)zero-variance windows: the reference's double-precision NCC
-    # divides 0/0 to NaN, which never wins its `<` tracker (`NCC.h:46,59`);
-    # mask them to the never-wins value so flat regions keep 0 disparity
-    # instead of amplified rounding noise.
-    degenerate = (var_l[None] < 0.01 * n) | (var_r < 0.01 * n)
+    # Zero-variance windows: the reference's double-precision NCC divides
+    # 0/0 to NaN, which never wins its `<` tracker (`NCC.h:46,59`); mask
+    # them to the never-wins value so flat regions keep 0 disparity instead
+    # of amplified rounding noise.  Threshold 0.5: for u8 inputs the
+    # smallest *nonzero* sum of squared deviations is ~1.0 (one pixel off
+    # by 1), and with 128-centering the f32 rounding error is far below
+    # 0.5 — so only truly flat windows are masked, while faintly textured
+    # ones keep their (valid, possibly winning) NCC as in the reference.
+    degenerate = (var_l[None] < 0.5) | (var_r < 0.5)
     ncc = jnp.where(degenerate, -2.0, ncc)
 
     cols = jnp.arange(wd)[None, None, :]

@@ -16,6 +16,7 @@ Typical multi-host launch (one process per host, same program):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -24,26 +25,61 @@ from jax.sharding import Mesh
 
 _initialized = False
 
+#: Environment variables whose presence means a multi-process launch was
+#: *requested* — a failure to initialize must then surface, not degrade to
+#: single-process mode (which would silently build a wrong 1-host mesh).
+_COORD_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _multi_host_requested() -> bool:
+    if any(os.environ.get(k) for k in _COORD_ENV_VARS):
+        return True
+    # TPU_WORKER_HOSTNAMES counts only when it names >1 host: single-host
+    # environments (including this container's axon relay bootstrap) set it
+    # to one hostname, which is not a pod launch.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
+
 
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
+) -> str:
     """Idempotent `jax.distributed.initialize` (env-driven when args are
-    None — on Cloud TPU pods the runtime discovers everything).  Safe to
-    call in single-process runs: a failure to discover a coordinator is
-    treated as "not distributed" rather than an error."""
+    None — on Cloud TPU pods the runtime discovers everything).
+
+    Must be the first JAX call in the process: `jax.distributed.initialize`
+    refuses to run once the XLA backend exists, so this wrapper never
+    queries devices/process_count before initializing.
+
+    Returns a status string: ``"initialized"`` (distributed runtime up),
+    ``"already-initialized"`` (second call, no-op), or
+    ``"single-process"`` (no coordinator configured anywhere — only
+    possible when neither the arguments nor the pod environment request a
+    multi-process run; a *requested* multi-process launch that fails
+    re-raises instead of degrading silently)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
-        return
+    if _initialized:
+        return "already-initialized"
+    requested = (
+        any(a is not None for a in (coordinator_address, num_processes, process_id))
+        or _multi_host_requested()
+    )
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
-        _initialized = True
     except (ValueError, RuntimeError):
-        # single-process / no coordinator configured
+        if requested:
+            raise
+        # Nothing asked for a distributed run: plain single-process mode.
         _initialized = True
+        return "single-process"
+    _initialized = True
+    return "initialized"
 
 
 def host_chip_mesh(axis_names=("host", "chip")) -> Mesh:
