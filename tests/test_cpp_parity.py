@@ -1,0 +1,128 @@
+"""End-to-end cross-implementation parity (VERDICT r1 item 2).
+
+The framework's five ACTIVE pipelines vs `native/cpu_baseline/
+parity_baseline.cpp` — an independent, loop-structured C++ implementation
+of the same intended semantics (SURVEY.md §2).  Both consume the identical
+synthetic pair (dumped to raw files), and the disparity maps must agree on
+>= 99% of pixels — the measured form of BASELINE.md's "bad-pixel delta
+<= 1%" accuracy north star (real Teddy images are unobtainable here; the
+reference ships none).
+
+Float summation orders differ between the two implementations (banded
+matmuls / SATs vs sequential loops), so exact cost ties can flip an
+argmin — that is the 1% budget; anything structural blows far past it.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_match_traditional_tpu import config as cfgs
+from stereo_match_traditional_tpu.models import get_pipeline
+from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "cpu_baseline")
+_SRC = os.path.join(_DIR, "parity_baseline.cpp")
+_BIN = os.path.join(_DIR, "parity_baseline")
+
+H, W, D = 96, 128, 16
+SEED = 5
+
+
+@pytest.fixture(scope="module")
+def binary():
+    if (not os.path.exists(_BIN)
+            or os.path.getmtime(_BIN) < os.path.getmtime(_SRC)):
+        subprocess.check_call(["g++", "-O2", "-o", _BIN, _SRC])
+    return _BIN
+
+
+@pytest.fixture(scope="module")
+def pair_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("parity")
+    L, R, gt = make_pair(H, W, D, seed=SEED)
+    lp, rp = str(d / "L.u8"), str(d / "R.u8")
+    L.tofile(lp)
+    R.tofile(rp)
+    return L, R, gt, lp, rp, str(d)
+
+
+def _run_cpp(binary, name, lp, rp, outdir):
+    prefix = os.path.join(outdir, name)
+    subprocess.check_call(
+        [binary, name, str(H), str(W), str(D), lp, rp, prefix], timeout=300
+    )
+    maps = {}
+    for field in ("left", "right", "final"):
+        path = f"{prefix}.{field}.f32"
+        if os.path.exists(path):
+            maps[field] = np.fromfile(path, dtype=np.float32).reshape(H, W)
+    return maps
+
+
+def _agreement(a, b, ignore_cols=0, atol=0.0):
+    """Fraction of agreeing pixels, excluding ``ignore_cols`` at BOTH
+    vertical edges: the clamp triangles (left-view at the left edge,
+    right-view at the right edge) duplicate costs exactly, so argmin ties
+    there flip with float summation order — disparity is ill-defined in
+    the reference too (all candidates index off-image)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if ignore_cols:
+        a = a[:, ignore_cols:-ignore_cols]
+        b = b[:, ignore_cols:-ignore_cols]
+    return float(np.mean(np.abs(a - b) <= atol))
+
+
+CASES = [
+    ("sad", cfgs.SADConfig(max_disparity=D), {"left": "disp_left"}),
+    ("ncc", cfgs.NCCConfig(disp_range=D), {"left": "disp_left"}),
+    (
+        "asw",
+        cfgs.ASWConfig(disp_range=D, run_post=True, use_pallas=False),
+        {"left": "disp_left", "right": "disp_right", "final": "disp_final"},
+    ),
+    (
+        "ad_census",
+        cfgs.ADCensusConfig(disp_range=D),
+        {"left": "disp_left", "right": "disp_right"},
+    ),
+    (
+        "cblsm",
+        cfgs.CBLSMConfig(disp_range=D),
+        {"left": "disp_left", "right": "disp_right"},
+    ),
+]
+
+
+@pytest.mark.parametrize("name,cfg,fields", CASES, ids=[c[0] for c in CASES])
+def test_framework_matches_cpp(binary, pair_files, name, cfg, fields):
+    L, R, gt, lp, rp, outdir = pair_files
+    cpp = _run_cpp(binary, name, lp, rp, outdir)
+    fn, _ = get_pipeline(name)
+    res = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    for cpp_field, attr in fields.items():
+        ours = np.asarray(getattr(res, attr))
+        agree = _agreement(cpp[cpp_field], ours, ignore_cols=D,
+                           atol=0.0 if cpp_field != "final" else 1e-3)
+        assert agree >= 0.99, (name, cpp_field, agree)
+
+
+def test_cpp_baseline_accuracy_close_to_framework(binary, pair_files):
+    """bad-2.0 vs ground truth must agree within 1 point on the flagship —
+    the BASELINE.md accuracy target measured, not argued."""
+    from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
+
+    L, R, gt, lp, rp, outdir = pair_files
+    cpp = _run_cpp(binary, "ad_census", lp, rp, outdir)
+    fn, _ = get_pipeline("ad_census")
+    ours = np.asarray(fn(jnp.asarray(L), jnp.asarray(R),
+                         cfgs.ADCensusConfig(disp_range=D)).disp_left)
+    ours_bad = bad_pixel_rate(ours[:, D:], gt[:, D:])
+    cpp_bad = bad_pixel_rate(cpp["left"][:, D:], gt[:, D:])
+    assert abs(ours_bad - cpp_bad) <= 0.01, (ours_bad, cpp_bad)
