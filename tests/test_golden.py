@@ -37,14 +37,10 @@ def golden():
     return np.load(_GOLDEN)
 
 
-@pytest.mark.parametrize("name", sorted(_CASES))
-def test_pipeline_matches_golden(name, golden):
-    L, R, _ = make_pair(48, 64, 10, seed=42)
-    fn, _ = get_pipeline(name)
-    res = fn(jnp.asarray(L), jnp.asarray(R), _CASES[name])
+def _check_golden(prefix, res, golden):
     checked = 0
     for field in res._fields:
-        key = f"{name}/{field}"
+        key = f"{prefix}/{field}"
         if key not in golden.files:
             continue
         got = np.asarray(getattr(res, field))
@@ -56,4 +52,60 @@ def test_pipeline_matches_golden(name, golden):
             got[finite], want[finite], rtol=0, atol=1e-5, err_msg=key
         )
         checked += 1
-    assert checked >= 1, name
+    assert checked >= 1, prefix
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_pipeline_matches_golden(name, golden):
+    L, R, _ = make_pair(48, 64, 10, seed=42)
+    fn, _ = get_pipeline(name)
+    res = fn(jnp.asarray(L), jnp.asarray(R), _CASES[name])
+    _check_golden(name, res, golden)
+
+
+# --------------------------------------------------------------------------
+# Quirk-flag goldens (VERDICT r1 item 8): every catalogued reference quirk
+# flag gets its own frozen output so a regression in a non-default path
+# trips the golden net.  Regenerate: python tests/golden/generate_quirks.py
+# --------------------------------------------------------------------------
+
+_QUIRKS = os.path.join(os.path.dirname(__file__), "golden", "quirks_seed42.npz")
+
+
+@pytest.fixture(scope="module")
+def quirk_golden():
+    return np.load(_QUIRKS)
+
+
+def _quirk_cases():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    import generate_quirks
+
+    return generate_quirks.quirk_cases(), generate_quirks.lab_cases()
+
+
+@pytest.mark.parametrize(
+    "idx,case_id",
+    [(0, "adc_vertical_l2"), (1, "adc_vertical_p2"), (2, "ncc_sentinel"),
+     (3, "cblsm_own_arms"), (4, "adc_cross_two_pass")],
+)
+def test_quirk_flag_matches_golden(idx, case_id, quirk_golden):
+    cases, _ = _quirk_cases()
+    name, pipe, cfg, kw = cases[idx]
+    assert name == case_id
+    L, R, _ = make_pair(48, 64, 10, seed=42)
+    fn, _ = get_pipeline(pipe)
+    res = fn(jnp.asarray(L), jnp.asarray(R), cfg, **kw)
+    _check_golden(name, res, quirk_golden)
+
+
+@pytest.mark.parametrize("idx,case_id", [(0, "asw_lab"), (1, "asw_lab_faithful_lut")])
+def test_lab_variant_matches_golden(idx, case_id, quirk_golden):
+    _, lab = _quirk_cases()
+    name, pipe, cfg, kw, gl, gr = lab[idx]
+    assert name == case_id
+    fn, _ = get_pipeline(pipe)
+    res = fn(jnp.asarray(gl), jnp.asarray(gr), cfg, **kw)
+    _check_golden(name, res, quirk_golden)
