@@ -100,17 +100,33 @@ def cmd_run(args) -> int:
     left, right, gt = _load_pair(args)
 
     timer = StageTimer()
+    stages = None
     with timer.stage("pipeline"):
-        res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+        if args.save_stages:
+            res, stages = pipeline(
+                jnp.asarray(left), jnp.asarray(right), cfg, return_stages=True
+            )
+        else:
+            res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
         disp = np.asarray(
             res.disp_final if res.disp_final is not None else res.disp_left
         )
 
     if args.save_stages:
-        from stereo_match_traditional_tpu.utils.checkpoint import save_result
+        from stereo_match_traditional_tpu.utils.checkpoint import (
+            save_array,
+            save_result,
+        )
 
         save_result(args.save_stages, res, meta={"pipeline": args.pipeline})
-        print(f"stages -> {args.save_stages}", file=sys.stderr)
+        for stage_name, arr in (stages or {}).items():
+            save_array(args.save_stages, stage_name, arr)
+        print(
+            f"stages -> {args.save_stages} "
+            f"(incl. {sorted(stages)} volumes; re-enter with "
+            "models.registry.finish_from_volumes)",
+            file=sys.stderr,
+        )
 
     if args.out:
         io_utils.imwrite(args.out, io_utils.normalize_u8(disp))

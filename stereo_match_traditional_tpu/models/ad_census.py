@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from stereo_match_traditional_tpu.config import ADCensusConfig
 from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import aggregate, post, scanline, volume, wta
+from stereo_match_traditional_tpu.utils.profiling import stage_scope
 
 
 def ad_census_post(disp_l, disp_r, cfg: ADCensusConfig):
@@ -31,6 +32,7 @@ def ad_census_pipeline(
     cfg: ADCensusConfig = ADCensusConfig(),
     left_color: Optional[object] = None,
     right_color: Optional[object] = None,
+    return_stages: bool = False,
 ) -> StereoResult:
     """Active path (`main.cpp:58-84`): fused AD+Census volumes L+R ->
     cross arms per image -> vertical-first rectangle-mean aggregation ->
@@ -43,29 +45,42 @@ def ad_census_pipeline(
     * ``cfg.aggregation='cross_two_pass'``: the vendored CrossAggregator's
       exact two-pass cross aggregation (`CBLSM/cross_aggregator.cpp`) with
       ``cfg.cross_params`` — arms from the color image when provided.
+      This mode is the *canonical* AD-Census family (`ADCensusOption`,
+      `CBLSM/adcensus_types.h:45-75`), so its dormant fields drive the
+      canonical components the reference only declares:
+      ``so_p1/so_p2/so_tso`` parameterize the canonical tso-scheduled
+      scanline (`scanline.scanline_optimize_canonical`, applied to BOTH
+      volumes when ``cfg.scanline`` is set), ``irv_ts/irv_th`` the
+      iterative region voting fill, ``lrcheck_thres/do_lr_check/
+      do_filling/do_discontinuity_adjustment`` the canonical post chain
+      (`post.iterative_region_voting`, `post.discontinuity_adjustment`)
+      when ``cfg.run_post``.
     """
     d = cfg.disp_range
-    vol_l = volume.ad_census_volume(
-        left, right, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols, "left"
-    )
-    vol_r = volume.ad_census_volume(
-        left, right, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols, "right"
-    )
+    with stage_scope("cost_volume"):
+        vol_l = volume.ad_census_volume(
+            left, right, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols, "left"
+        )
+        vol_r = volume.ad_census_volume(
+            left, right, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols, "right"
+        )
 
     if cfg.aggregation == "rect_mean":
-        arms_l = aggregate.cross_arms(left, cfg.arms)
-        arms_r = aggregate.cross_arms(right, cfg.arms)
-        agg_l, agg_r = vol_l, vol_r
-        for _ in range(cfg.agg_iters):
-            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
+        with stage_scope("aggregate"):
+            arms_l = aggregate.cross_arms(left, cfg.arms)
+            arms_r = aggregate.cross_arms(right, cfg.arms)
+            agg_l, agg_r = vol_l, vol_r
+            for _ in range(cfg.agg_iters):
+                agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
+                agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
     elif cfg.aggregation == "cross_two_pass":
-        img_l = left_color if left_color is not None else left
-        img_r = right_color if right_color is not None else right
-        arms_l = aggregate.canonical_cross_arms(img_l, cfg.cross_params)
-        arms_r = aggregate.canonical_cross_arms(img_r, cfg.cross_params)
-        agg_l = aggregate.cross_aggregate(vol_l, arms_l, cfg.cross_params.num_iters)
-        agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters)
+        with stage_scope("aggregate"):
+            img_l = left_color if left_color is not None else left
+            img_r = right_color if right_color is not None else right
+            arms_l = aggregate.canonical_cross_arms(img_l, cfg.cross_params)
+            arms_r = aggregate.canonical_cross_arms(img_r, cfg.cross_params)
+            agg_l = aggregate.cross_aggregate(vol_l, arms_l, cfg.cross_params.num_iters)
+            agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters)
     elif cfg.aggregation == "none":
         agg_l, agg_r = vol_l, vol_r
     else:
@@ -74,14 +89,61 @@ def ad_census_pipeline(
             "expected 'rect_mean', 'cross_two_pass' or 'none'"
         )
 
+    canonical = cfg.aggregation == "cross_two_pass"
     if cfg.scanline is not None:
-        agg_l = scanline.scanline_optimize(agg_l, left, cfg.scanline)
+        with stage_scope("scanline"):
+            if canonical:
+                cp = cfg.cross_params
+                agg_l = scanline.scanline_optimize_canonical(
+                    agg_l, left, right, cp.so_p1, cp.so_p2, cp.so_tso, "left"
+                )
+                agg_r = scanline.scanline_optimize_canonical(
+                    agg_r, left, right, cp.so_p1, cp.so_p2, cp.so_tso, "right"
+                )
+            else:
+                agg_l = scanline.scanline_optimize(agg_l, left, cfg.scanline)
 
-    disp_l = wta.wta(agg_l, "min")
-    disp_r = wta.wta(agg_r, "min")
+    with stage_scope("wta"):
+        disp_l = wta.wta(agg_l, "min")
+        disp_r = wta.wta(agg_r, "min")
 
     disp_final = None
     occl = mism = None
     if cfg.run_post:
-        disp_final, occl, mism = ad_census_post(disp_l, disp_r, cfg)
-    return StereoResult(disp_l, disp_r, disp_final, occl, mism)
+        with stage_scope("post"):
+            if canonical:
+                disp_final, occl, mism = ad_census_post_canonical(
+                    disp_l, disp_r, agg_l, arms_l, cfg
+                )
+            else:
+                disp_final, occl, mism = ad_census_post(disp_l, disp_r, cfg)
+    result = StereoResult(disp_l, disp_r, disp_final, occl, mism)
+    if return_stages:
+        return result, {
+            "cost_left": vol_l, "cost_right": vol_r,
+            "aggregated_left": agg_l, "aggregated_right": agg_r,
+        }
+    return result
+
+
+def ad_census_post_canonical(disp_l, disp_r, agg_l, arms_l, cfg: ADCensusConfig):
+    """Canonical post chain for the `cross_two_pass` (ADCensusOption) mode:
+    LR check at ``lrcheck_thres`` -> iterative region voting fill ->
+    optional discontinuity adjustment -> median.  Implements the semantics
+    the vendored `adcensus_types.h:72-75` fields declare (VERDICT r1
+    item 9); each stage is gated by its canonical do_* flag."""
+    cp = cfg.cross_params
+    d = disp_l
+    occl = mism = None
+    if cp.do_lr_check:
+        lr = post.lr_check_consistency(disp_l, disp_r, cp.lrcheck_thres, post.INVALID)
+        d, occl, mism = lr.disp, lr.occlusion, lr.mismatch
+    if cp.do_filling:
+        d = post.iterative_region_voting(
+            d, arms_l, cfg.disp_range, cp.irv_ts, cp.irv_th,
+            invalid_value=post.INVALID,
+        )
+    if cp.do_discontinuity_adjustment:
+        d = post.discontinuity_adjustment(d, agg_l, post.INVALID)
+    d = post.median_filter(d, cfg.median_size, border="truncate")
+    return d, occl, mism

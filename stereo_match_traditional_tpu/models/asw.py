@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from stereo_match_traditional_tpu.config import ASWConfig
 from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import post, volume, wta
+from stereo_match_traditional_tpu.utils.profiling import stage_scope
 
 
 def _minmax_u8(x):
@@ -39,7 +40,8 @@ def asw_post(disp_l, disp_r, cfg: ASWConfig):
 
 
 def asw_pipeline(
-    left, right, cfg: ASWConfig = ASWConfig(), left_lab=None, right_lab=None
+    left, right, cfg: ASWConfig = ASWConfig(), left_lab=None, right_lab=None,
+    return_stages: bool = False,
 ) -> StereoResult:
     """Active reference path (`ASWeight.cpp:60-78`):
 
@@ -63,40 +65,52 @@ def asw_pipeline(
         # (`ASWeight.cpp:33-34`, see utils.io.rgb_to_lab_u8)
         if left_lab is None or right_lab is None:
             raise ValueError("variant='lab' needs left_lab/right_lab images")
-        vol_l = volume.asw_lab_volume(
-            left, right, left_lab, right_lab, faithful_lut=cfg.lab_faithful_lut, **kw
-        )
-        # mirror identity for the right view (flip images and Lab pair)
-        vol_r = volume.asw_lab_volume(
-            jnp.asarray(right)[:, ::-1],
-            jnp.asarray(left)[:, ::-1],
-            jnp.asarray(right_lab)[:, ::-1],
-            jnp.asarray(left_lab)[:, ::-1],
-            faithful_lut=cfg.lab_faithful_lut,
-            **kw,
-        )[:, :, ::-1]
-        disp_l = wta.wta(vol_l, "min")
-        disp_r = wta.wta(vol_r, "min")
-        disp_final = asw_post(disp_l, disp_r, cfg) if cfg.run_post else None
-        return StereoResult(disp_l, disp_r, disp_final)
+        with stage_scope("cost_volume"):
+            vol_l = volume.asw_lab_volume(
+                left, right, left_lab, right_lab, faithful_lut=cfg.lab_faithful_lut, **kw
+            )
+            # mirror identity for the right view (flip images and Lab pair)
+            vol_r = volume.asw_lab_volume(
+                jnp.asarray(right)[:, ::-1],
+                jnp.asarray(left)[:, ::-1],
+                jnp.asarray(right_lab)[:, ::-1],
+                jnp.asarray(left_lab)[:, ::-1],
+                faithful_lut=cfg.lab_faithful_lut,
+                **kw,
+            )[:, :, ::-1]
+        with stage_scope("wta"):
+            disp_l = wta.wta(vol_l, "min")
+            disp_r = wta.wta(vol_r, "min")
+        with stage_scope("post"):
+            disp_final = asw_post(disp_l, disp_r, cfg) if cfg.run_post else None
+        result = StereoResult(disp_l, disp_r, disp_final)
+        if return_stages:
+            return result, {"cost_left": vol_l, "cost_right": vol_r}
+        return result
 
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         import jax
 
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
+    with stage_scope("cost_volume"):
+        if use_pallas:
+            from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
 
-        vol_l = asw_volume_pallas(left, right, view="left", **kw)
-        vol_r = asw_volume_pallas(left, right, view="right", **kw)
-    else:
-        vol_l = volume.asw_volume(left, right, **kw)
-        vol_r = volume.asw_volume_right(left, right, **kw)
-    disp_l = wta.wta(vol_l, "min")
-    disp_r = wta.wta(vol_r, "min")
+            vol_l = asw_volume_pallas(left, right, view="left", **kw)
+            vol_r = asw_volume_pallas(left, right, view="right", **kw)
+        else:
+            vol_l = volume.asw_volume(left, right, **kw)
+            vol_r = volume.asw_volume_right(left, right, **kw)
+    with stage_scope("wta"):
+        disp_l = wta.wta(vol_l, "min")
+        disp_r = wta.wta(vol_r, "min")
 
     disp_final = None
     if cfg.run_post:
-        disp_final = asw_post(disp_l, disp_r, cfg)
-    return StereoResult(disp_l, disp_r, disp_final)
+        with stage_scope("post"):
+            disp_final = asw_post(disp_l, disp_r, cfg)
+    result = StereoResult(disp_l, disp_r, disp_final)
+    if return_stages:
+        return result, {"cost_left": vol_l, "cost_right": vol_r}
+    return result

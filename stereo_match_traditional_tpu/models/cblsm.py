@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from stereo_match_traditional_tpu.config import CBLSMConfig
 from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import aggregate, post, volume, wta
+from stereo_match_traditional_tpu.utils.profiling import stage_scope
 
 
 def cblsm_post(disp_l, disp_r, cfg: CBLSMConfig):
@@ -20,7 +21,9 @@ def cblsm_post(disp_l, disp_r, cfg: CBLSMConfig):
     return dmap, lr.occlusion, lr.mismatch
 
 
-def cblsm_pipeline(left, right, cfg: CBLSMConfig = CBLSMConfig()) -> StereoResult:
+def cblsm_pipeline(
+    left, right, cfg: CBLSMConfig = CBLSMConfig(), return_stages: bool = False
+) -> StereoResult:
     """Active path (`CBLSM.cpp:64-153`): four arms per image on the raw gray
     images (the median-blurred `armImage`s at `CBLSM.cpp:24-25` are computed
     but never used) -> AD cost volumes L+R (`CBLSM.h:327-381`) -> two
@@ -32,12 +35,14 @@ def cblsm_pipeline(left, right, cfg: CBLSMConfig = CBLSMConfig()) -> StereoResul
     ``run_post`` enables the dormant chain (`CBLSM.cpp:160-162`).
     """
     d = cfg.disp_range
-    arms_l = aggregate.cross_arms(left, cfg.arms)
-    arms_r = aggregate.cross_arms(right, cfg.arms)
+    with stage_scope("arms"):
+        arms_l = aggregate.cross_arms(left, cfg.arms)
+        arms_r = aggregate.cross_arms(right, cfg.arms)
 
     if cfg.cost == "ad":
-        vol_l = volume.ad_volume(left, right, d, "left")
-        vol_r = volume.ad_volume(left, right, d, "right")
+        with stage_scope("cost_volume"):
+            vol_l = volume.ad_volume(left, right, d, "left")
+            vol_r = volume.ad_volume(left, right, d, "right")
     elif cfg.cost == "sad_mean":
         # dormant ComputeDispLeft/Right (`CBLSM.h:409-489`): mean SAD window
         vol_l = volume.sad_volume(left, right, d, cfg.win_size, "left", mean=True)
@@ -67,13 +72,14 @@ def cblsm_pipeline(left, right, cfg: CBLSMConfig = CBLSMConfig()) -> StereoResul
         )
 
     if cfg.aggregation == "rect_mean":
-        agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
-        agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
-        for _ in range(cfg.agg_passes - 1):
-            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-            agg_r = aggregate.rect_mean_aggregate(
-                agg_r, arms_l if cfg.second_pass_left_arms else arms_r
-            )
+        with stage_scope("aggregate"):
+            agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
+            agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
+            for _ in range(cfg.agg_passes - 1):
+                agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
+                agg_r = aggregate.rect_mean_aggregate(
+                    agg_r, arms_l if cfg.second_pass_left_arms else arms_r
+                )
     elif cfg.aggregation == "rect_mean_v4":
         # dormant disparity-conditioned support (`CBLSM.cpp:108-111` +
         # `costAggregationV4`, `CBLSM.h:1128-1176`)
@@ -96,11 +102,19 @@ def cblsm_pipeline(left, right, cfg: CBLSMConfig = CBLSMConfig()) -> StereoResul
             "'rect_mean_v4', 'cross_two_pass' or 'none'"
         )
 
-    disp_l = wta.wta(agg_l, "min")
-    disp_r = wta.wta(agg_r, "min")
+    with stage_scope("wta"):
+        disp_l = wta.wta(agg_l, "min")
+        disp_r = wta.wta(agg_r, "min")
 
     disp_final = None
     occl = mism = None
     if cfg.run_post:
-        disp_final, occl, mism = cblsm_post(disp_l, disp_r, cfg)
-    return StereoResult(disp_l, disp_r, disp_final, occl, mism)
+        with stage_scope("post"):
+            disp_final, occl, mism = cblsm_post(disp_l, disp_r, cfg)
+    result = StereoResult(disp_l, disp_r, disp_final, occl, mism)
+    if return_stages:
+        return result, {
+            "cost_left": vol_l, "cost_right": vol_r,
+            "aggregated_left": agg_l, "aggregated_right": agg_r,
+        }
+    return result

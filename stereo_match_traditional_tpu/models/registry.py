@@ -24,3 +24,55 @@ def get_pipeline(name: str):
     if name not in PIPELINES:
         raise KeyError(f"unknown pipeline {name!r}; have {sorted(PIPELINES)}")
     return PIPELINES[name]
+
+
+def finish_from_volumes(name: str, vol_l, vol_r, cfg):
+    """Re-enter a pipeline at the WTA stage from saved stage volumes
+    (SURVEY.md §5 "any stage re-entrant"; VERDICT r1 item 7).
+
+    ``vol_l``/``vol_r`` are the ``aggregated_left``/``aggregated_right``
+    (or ``cost_*`` for pipelines without aggregation) arrays a
+    ``return_stages=True`` run produced — e.g. reloaded with
+    `utils.checkpoint.load_array` after a failure — and the result matches
+    the original run's disparity maps bit-for-bit.
+    """
+    import jax.numpy as jnp
+
+    from stereo_match_traditional_tpu.models.ad_census import (
+        ad_census_post,
+    )
+    from stereo_match_traditional_tpu.models.base import StereoResult
+    from stereo_match_traditional_tpu.models.cblsm import cblsm_post
+    from stereo_match_traditional_tpu.models.sad import sad_post
+    from stereo_match_traditional_tpu.ops import volume as _volume, wta
+
+    if name not in PIPELINES:
+        raise KeyError(f"unknown pipeline {name!r}; have {sorted(PIPELINES)}")
+    vol_l = jnp.asarray(vol_l)
+    vol_r = None if vol_r is None else jnp.asarray(vol_r)
+
+    if name == "sad":
+        disp_l = wta.optimal_disparity(vol_l, cfg.uniqueness_eps, cfg.subpixel)
+        disp_r = None if vol_r is None else wta.wta(vol_r, "min")
+        if cfg.run_post:
+            fin, occl, mism = sad_post(disp_l, disp_r, cfg)
+            return StereoResult(disp_l, disp_r, fin, occl, mism)
+        return StereoResult(disp_l, disp_r)
+    if name == "ncc":
+        h, w = vol_l.shape[1:]
+        interior = _volume.ncc_interior_mask(h, w, cfg.win_size)
+        disp = jnp.where(interior, wta.wta(vol_l, "max"), 0.0)
+        return StereoResult(disp)
+    # asw / ad_census / cblsm: plain dual WTA + their post chains
+    disp_l = wta.wta(vol_l, "min")
+    disp_r = wta.wta(vol_r, "min")
+    if name == "asw":
+        from stereo_match_traditional_tpu.models.asw import asw_post
+
+        fin = asw_post(disp_l, disp_r, cfg) if cfg.run_post else None
+        return StereoResult(disp_l, disp_r, fin)
+    post_fn = ad_census_post if name == "ad_census" else cblsm_post
+    if cfg.run_post:
+        fin, occl, mism = post_fn(disp_l, disp_r, cfg)
+        return StereoResult(disp_l, disp_r, fin, occl, mism)
+    return StereoResult(disp_l, disp_r)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from stereo_match_traditional_tpu.config import SADConfig
 from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import post, volume, wta
+from stereo_match_traditional_tpu.utils.profiling import stage_scope
 
 
 def sad_post(disp_l, disp_r, cfg: SADConfig):
@@ -27,7 +28,9 @@ def sad_post(disp_l, disp_r, cfg: SADConfig):
     return d, lr.occlusion, lr.mismatch
 
 
-def sad_pipeline(left, right, cfg: SADConfig = SADConfig()) -> StereoResult:
+def sad_pipeline(
+    left, right, cfg: SADConfig = SADConfig(), return_stages: bool = False
+) -> StereoResult:
     """Active path: 9x9 SAD volume -> uniqueness WTA, left map only
     (`SADmain.cpp:66`).  ``compute_right`` / ``run_post`` enable the dormant
     stages (`SADmain.cpp:67-79`): plain-argmin right map
@@ -36,16 +39,28 @@ def sad_pipeline(left, right, cfg: SADConfig = SADConfig()) -> StereoResult:
     speckle removal (`Sad.h:251-315`), 8-direction hole fill
     (`Sad.h:317-400`) and the truncate-border median (`Sad.h:224-249`).
     """
-    vol_l = volume.sad_volume(left, right, cfg.max_disparity, cfg.winsize, "left")
-    disp_l = wta.optimal_disparity(vol_l, cfg.uniqueness_eps, cfg.subpixel)
+    with stage_scope("cost_volume"):
+        vol_l = volume.sad_volume(left, right, cfg.max_disparity, cfg.winsize, "left")
+    with stage_scope("wta"):
+        disp_l = wta.optimal_disparity(vol_l, cfg.uniqueness_eps, cfg.subpixel)
 
+    vol_r = None
     disp_r = None
     disp_final = None
     occl = None
     mism = None
     if cfg.compute_right or cfg.run_post:
-        vol_r = volume.sad_volume(left, right, cfg.max_disparity, cfg.winsize, "right")
-        disp_r = wta.wta(vol_r, "min")
+        with stage_scope("cost_volume_right"):
+            vol_r = volume.sad_volume(left, right, cfg.max_disparity, cfg.winsize, "right")
+        with stage_scope("wta"):
+            disp_r = wta.wta(vol_r, "min")
     if cfg.run_post:
-        disp_final, occl, mism = sad_post(disp_l, disp_r, cfg)
-    return StereoResult(disp_l, disp_r, disp_final, occl, mism)
+        with stage_scope("post"):
+            disp_final, occl, mism = sad_post(disp_l, disp_r, cfg)
+    result = StereoResult(disp_l, disp_r, disp_final, occl, mism)
+    if return_stages:
+        stages = {"cost_left": vol_l}
+        if vol_r is not None:
+            stages["cost_right"] = vol_r
+        return result, stages
+    return result

@@ -113,6 +113,133 @@ def _directional_pass(
     return jnp.concatenate(pieces, axis=0), carry
 
 
+def _canonical_pass(
+    cost: jax.Array,
+    g1: jax.Array,
+    g2: jax.Array,
+    p1_base: float,
+    p2_base: float,
+    tso: float,
+    unroll: int = 4,
+) -> jax.Array:
+    """One directional pass with the canonical tso penalty schedule.
+
+    cost: [N, D, M] (N = path axis, M on the lanes); g1: [N, M] the base
+    image along the path; g2: [N, D, M] the *matched* image gathered at the
+    per-d match column.  Penalties per (p, d) from the color differences
+    along the path, D1 = |g1(p) - g1(p-r)| and D2 = |g2(p,d) - g2(p-r,d)|:
+
+        D1 < tso and D2 < tso  ->  (P1, P2)
+        exactly one >= tso     ->  (P1/4, P2/4)
+        both >= tso            ->  (P1/10, P2/10)
+
+    (the Mei et al. AD-Census schedule that `so_p1/so_p2/so_tso` of the
+    vendored `ADCensusOption` parameterize, `CBLSM/adcensus_types.h:72`).
+    """
+    d1 = jnp.abs(g1 - jnp.concatenate([g1[:1], g1[:-1]], axis=0))[:, None, :]
+    d2 = jnp.abs(g2 - jnp.concatenate([g2[:1], g2[:-1]], axis=0))
+    over1 = d1 >= tso
+    over2 = d2 >= tso
+    scale = jnp.where(
+        over1 & over2, 0.1, jnp.where(over1 | over2, 0.25, 1.0)
+    )  # [N, D, M]
+    p1s = p1_base * scale
+    p2s = p2_base * scale
+
+    def step(prev, prev_min, c, p1c, p2c):
+        inf_row = jnp.full(prev.shape[:-2] + (1,) + prev.shape[-1:], _BIG)
+        l1 = prev
+        l2 = jnp.concatenate([inf_row, prev[..., :-1, :]], axis=-2) + p1c
+        l3 = jnp.concatenate([prev[..., 1:, :], inf_row], axis=-2) + p1c
+        l4 = prev_min[..., None, :] + p2c
+        out = (
+            c
+            + jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
+            - prev_min[..., None, :]
+        )
+        return out, jnp.min(out, axis=-2)
+
+    first = cost[0]
+    carry0 = (first, jnp.min(first, axis=-2))
+    n = cost.shape[0]
+    k = max(1, unroll)
+    main = ((n - 1) // k) * k
+
+    def body(carry, xs):
+        prev, prev_min = carry
+        cs, p1c, p2c = xs
+        outs = []
+        for t in range(k):
+            prev, prev_min = step(prev, prev_min, cs[t], p1c[t], p2c[t])
+            outs.append(prev)
+        return (prev, prev_min), jnp.stack(outs)
+
+    chunk = (main // k, k)
+    xs_main = (
+        cost[1 : 1 + main].reshape(chunk + cost.shape[1:]),
+        p1s[1 : 1 + main].reshape(chunk + p1s.shape[1:]),
+        p2s[1 : 1 + main].reshape(chunk + p2s.shape[1:]),
+    )
+    carry, ys = jax.lax.scan(body, carry0, xs_main)
+    pieces = [first[None], ys.reshape((main,) + cost.shape[1:])]
+    for t in range(1 + main, n):
+        out, out_min = step(carry[0], carry[1], cost[t], p1s[t], p2s[t])
+        carry = (out, out_min)
+        pieces.append(out[None])
+    return jnp.concatenate(pieces, axis=0)
+
+
+def scanline_optimize_canonical(
+    cost: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    p1: float = 1.0,
+    p2: float = 3.0,
+    tso: float = 15.0,
+    view: str = "left",
+) -> jax.Array:
+    """Canonical AD-Census 4-path scanline optimizer.
+
+    This is the component the vendored ``ADCensusOption``'s
+    ``so_p1/so_p2/so_tso`` fields configure (`CBLSM/adcensus_types.h:72` —
+    declaration-only in the reference; implemented here with the canonical
+    Mei et al. semantics so no config field is inert, VERDICT r1 item 9).
+
+    Unlike the committed `ScanlineOptimizer.h` (P2 from the base image
+    only), the canonical penalties consult color differences in BOTH
+    images at the per-disparity match column, so P1/P2 are per-(pixel, d)
+    — see :func:`_canonical_pass`.  The four directional volumes are
+    averaged (the canonical normalization), keeping the output on the same
+    scale as the input cost.
+
+    cost: [D, H, W] (normalized aggregated costs, ~[0, 2] after
+    `cross_aggregate`); left/right: the gray images.
+    """
+    from stereo_match_traditional_tpu.ops.volume import shifted_stack
+
+    d = cost.shape[0]
+    base = (left if view == "left" else right).astype(jnp.float32)
+    match = (right if view == "left" else left).astype(jnp.float32)
+    g2 = shifted_stack(match, d, view)              # [D, H, W]
+
+    c_wdh = jnp.transpose(cost, (2, 0, 1))          # [W, D, H]
+    g1_wh = base.T                                  # [W, H]
+    g2_wdh = jnp.transpose(g2, (2, 0, 1))           # [W, D, H]
+    lr = _canonical_pass(c_wdh, g1_wh, g2_wdh, p1, p2, tso)
+    rl = _canonical_pass(c_wdh[::-1], g1_wh[::-1], g2_wdh[::-1], p1, p2, tso)
+    horiz = lr + rl[::-1]
+
+    c_hdw = jnp.transpose(cost, (1, 0, 2))          # [H, D, W]
+    g1_hw = base                                    # [H, W]
+    g2_hdw = jnp.transpose(g2, (1, 0, 2))           # [H, D, W]
+    ud = _canonical_pass(c_hdw, g1_hw, g2_hdw, p1, p2, tso)
+    du = _canonical_pass(c_hdw[::-1], g1_hw[::-1], g2_hdw[::-1], p1, p2, tso)
+    vert = ud + du[::-1]
+
+    total = jnp.transpose(horiz, (1, 2, 0)) + jnp.transpose(vert, (1, 0, 2))
+    return total * 0.25
+
+
 def scanline_optimize(
     cost: jax.Array, gray: jax.Array, cfg: ScanlineConfig = ScanlineConfig()
 ) -> jax.Array:

@@ -228,8 +228,12 @@ def ncc_volume(
     eps: float = 1e-12,
     row_offset: int = 0,
     global_rows: int = None,
+    d_offset: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Normalized cross-correlation volume (`NCC/NCC.h:15-95`).
+
+    ``d_offset`` builds the local slice ``d in [d_offset, d_offset +
+    disp_range)`` for a disparity-sharded device (parallel.tiled).
 
     Returns ``(volume, interior_mask)``.  The volume holds the correlation
     coefficient in [-1, 1] (`NCC.h:46`); invalid (d, j) entries — where the
@@ -255,10 +259,10 @@ def ncc_volume(
     sum_r = box_sum_same(rf, w, w)
     sum_r2 = box_sum_same(rf * rf, w, w)
 
-    s_r = shifted_stack(rf, disp_range, "left")           # [D, H, W]
-    sum_lr = box_sum_same(lf[None] * s_r, w, w)           # [D, H, W]
-    sum_r_d = shifted_stack(sum_r, disp_range, "left")
-    sum_r2_d = shifted_stack(sum_r2, disp_range, "left")
+    s_r = shifted_stack(rf, disp_range, "left", d_offset)  # [D, H, W]
+    sum_lr = box_sum_same(lf[None] * s_r, w, w)            # [D, H, W]
+    sum_r_d = shifted_stack(sum_r, disp_range, "left", d_offset)
+    sum_r2_d = shifted_stack(sum_r2, disp_range, "left", d_offset)
 
     # numerator = sum((L-mL)(R-mR)) = sum(LR) - sumL*sumR/n
     num = sum_lr - sum_l[None] * sum_r_d / n
@@ -277,7 +281,7 @@ def ncc_volume(
     ncc = jnp.where(degenerate, -2.0, ncc)
 
     cols = jnp.arange(wd)[None, None, :]
-    ds = jnp.arange(disp_range)[:, None, None]
+    ds = jnp.arange(disp_range)[:, None, None] + d_offset
     valid = (cols - w - ds) >= 0                          # NCC.h:81
     sentinel = 255.0 if invalid_mode == "sentinel" else -2.0
     vol = jnp.where(valid, ncc, sentinel)

@@ -64,3 +64,16 @@ def annotate(name: str):
         return wrapped
 
     return deco
+
+
+def stage_scope(name: str):
+    """Named scope for a pipeline stage *inside* jitted code.
+
+    `jax.named_scope` attaches the name to the HLO metadata of every op
+    traced under it, so an XProf/Perfetto trace of a compiled pipeline
+    shows `stereo/<stage>` groups (the device-side counterpart of
+    :class:`StageTimer`'s host-side wall times; the reference's analogue
+    is cout percentages inside hot loops, `SAD/Sad.h:136-137`).  Every
+    model pipeline wraps its stages in these scopes.
+    """
+    return jax.named_scope(f"stereo/{name}")

@@ -53,6 +53,7 @@ def test_tiny_nonsquare(name):
     assert d.shape == (9, 33)
 
 
+@pytest.mark.slow
 def test_constant_images_all_pipelines():
     """Perfectly flat pair: no NaNs anywhere, NCC yields 0 everywhere."""
     L = np.full((20, 30), 97, np.uint8)
@@ -68,6 +69,7 @@ def test_constant_images_all_pipelines():
     np.testing.assert_array_equal(d, 0.0)
 
 
+@pytest.mark.slow
 def test_full_post_on_degenerate_map():
     """Post chain on a map that is entirely invalid after LR check."""
     from stereo_match_traditional_tpu.ops import post

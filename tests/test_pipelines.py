@@ -69,6 +69,7 @@ def test_ad_census_accuracy(small_pair):
     assert bad_pixel_rate(np.asarray(res.disp_left), gt) < 0.15
 
 
+@pytest.mark.slow
 def test_ad_census_scanline_improves_or_holds(small_pair):
     L, R, gt = small_pair
     base = ADCensusConfig(disp_range=14)

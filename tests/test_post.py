@@ -1,6 +1,7 @@
 """Post-processing vs. oracles: LR checks, speckles, fills, medians."""
 
 import numpy as np
+import pytest
 
 import oracles
 from stereo_match_traditional_tpu.ops import post
@@ -77,6 +78,7 @@ def test_median_replicate_center():
     assert got[2, 2] == 12.0
 
 
+@pytest.mark.slow
 def test_fill_holes_matches_oracle():
     rng = np.random.default_rng(9)
     h, w = 12, 15
@@ -97,6 +99,7 @@ def test_fill_holes_matches_oracle():
     np.testing.assert_allclose(got, cur)
 
 
+@pytest.mark.slow
 def test_directional_candidates_axis_and_diag():
     d = np.zeros((5, 5), np.float32)
     d[0, 0] = 3.0

@@ -230,6 +230,7 @@ def test_sad_channel_min_oracle():
                     assert abs(got[d, i, j] - err) < 1e-3, (d, i, j)
 
 
+@pytest.mark.slow
 def test_cblsm_pipeline_variants_run(tiny_pair):
     L, R, _ = tiny_pair
     fn, _ = get_pipeline("cblsm")
