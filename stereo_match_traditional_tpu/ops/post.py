@@ -139,72 +139,11 @@ def remove_speckles(
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     labels0 = jnp.where(valid, idx, big)
 
-    def _shift(x, dy, dx, fill):
-        xp = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
-        return jax.lax.dynamic_slice(xp, (1 + dy, 1 + dx), (h, w))
-
-    # Precompute connectivity masks per neighbor direction.
-    edges = []
-    for dy, dx in _NEIGHBORS_8:
-        nd = _shift(d, dy, dx, jnp.nan)
-        nv = _shift(valid, dy, dx, False)
-        ok = valid & nv & (jnp.abs(d - nd) <= diff_insame)
-        edges.append(ok)
-
-    # Run connectivity for the segmented scans: conn_l[i, j] == True iff
-    # (i, j) connects to (i, j-1); likewise up / the two diagonal
-    # predecessors.  Diagonal runs are scanned on sheared views (diagonals
-    # become columns — the same pad-reshape relayout the hole filler uses).
-    conn_l = edges[_NEIGHBORS_8.index((0, -1))]
-    conn_u = edges[_NEIGHBORS_8.index((-1, 0))]
-    if connectivity == 8:
-        conn_d1 = edges[_NEIGHBORS_8.index((-1, 1))]   # anti-diagonal pred
-        conn_d2 = edges[_NEIGHBORS_8.index((-1, -1))]  # main-diagonal pred
-        sc_d1, _ = _shear(conn_d1, True, False)
-        sc_d2, _ = _shear(conn_d2, False, False)
-
-    def _seg_op(a, b):
-        # segmented running min; flags must OR for associativity
-        amin, areset = a
-        bmin, breset = b
-        return jnp.where(breset, bmin, jnp.minimum(amin, bmin)), areset | breset
-
-    def _run_min(labels, conn, axis, reverse):
-        """Min label within each connected run along ``axis`` — long-range
-        propagation in one O(log n) associative scan (vector ops only; the
-        pointer-jumping alternative is a scalar-core gather per pixel and
-        measured ~50x slower on v5e)."""
-        if reverse:
-            # connectivity flag seen from the scan direction
-            flag = ~jnp.roll(conn, -1, axis)
-            index = [slice(None)] * 2
-            index[axis] = slice(-1, None)
-            flag = flag.at[tuple(index)].set(True)
-        else:
-            flag = ~conn
-        out, _ = jax.lax.associative_scan(
-            _seg_op, (labels, flag), axis=axis, reverse=reverse
-        )
-        return out
-
-    def _diag_min(lab, sheared_conn, anti):
-        ls, _ = _shear(lab, anti, big)
-        ls = _run_min(ls, sheared_conn, 0, False)
-        ls = _run_min(ls, sheared_conn, 0, True)
-        return _unshear(ls, h, w, anti, big)
+    sweep = _speckle_sweep_fn(d, valid, diff_insame, connectivity, big)
 
     def step(state):
         labels, _, it = state
-        # sweep run minima along all four directions (full connected-run
-        # reach per sweep; a neighbor-shift glue step only moves one pixel
-        # per iteration and needed ~14 iterations on real maps vs ~4 here)
-        new = _run_min(labels, conn_l, 1, False)
-        new = _run_min(new, conn_l, 1, True)
-        new = _run_min(new, conn_u, 0, False)
-        new = _run_min(new, conn_u, 0, True)
-        if connectivity == 8:
-            new = _diag_min(new, sc_d1, True)
-            new = _diag_min(new, sc_d2, False)
+        new = sweep(labels)
         return new, jnp.any(new != labels), it + 1
 
     def cond(state):
@@ -229,6 +168,107 @@ def remove_speckles(
     return jnp.where(kill, invalid_value, d)
 
 
+def _shift_fwd2(x, s, axis, fill):
+    """out[j] = x[j - s] along ``axis`` (fill at the start)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (s, 0)
+    sl = [slice(None)] * 2
+    sl[axis] = slice(0, x.shape[axis])
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def _shift_bwd2(x, s, axis, fill):
+    """out[j] = x[j + s] along ``axis`` (fill at the end)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (0, s)
+    sl = [slice(None)] * 2
+    sl[axis] = slice(s, s + x.shape[axis])
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def _doubling_masks(conn, axis):
+    """[(s, in-run-fwd, in-run-bwd)] for s = 1, 2, 4, ...: whether the
+    pixel s before/after (along ``axis``) belongs to the same run.
+    ``conn[..j..]`` says j connects to its predecessor j-1."""
+    n = conn.shape[axis]
+    c = jnp.cumsum((~conn).astype(jnp.int32), axis=axis)
+    masks = []
+    s = 1
+    while s < n:
+        mf = (c - _shift_fwd2(c, s, axis, -1)) == 0
+        mb = (_shift_bwd2(c, s, axis, -1) - c) == 0
+        masks.append((s, mf, mb))
+        s *= 2
+    return masks
+
+
+def _run_min_total(val, masks, axis, big):
+    """Min over each pixel's whole run via Hillis-Steele doubling."""
+    for s, mf, mb in masks:
+        cf = jnp.where(mf, _shift_fwd2(val, s, axis, big), big)
+        cb = jnp.where(mb, _shift_bwd2(val, s, axis, big), big)
+        val = jnp.minimum(val, jnp.minimum(cf, cb))
+    return val
+
+
+def speckle_connectivity(d, valid, diff_insame):
+    """(conn_l, conn_u, conn_d1, conn_d2): does each pixel connect to its
+    left / up / up-right / up-left neighbor (`Sad.h:294` membership +
+    disparity-difference rule)."""
+    h, w = d.shape
+
+    def _shift(x, dy, dx, fill):
+        xp = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
+        return jax.lax.dynamic_slice(xp, (1 + dy, 1 + dx), (h, w))
+
+    out = []
+    for dy, dx in [(0, -1), (-1, 0), (-1, 1), (-1, -1)]:
+        nd = _shift(d, dy, dx, jnp.nan)
+        nv = _shift(valid, dy, dx, False)
+        out.append(valid & nv & (jnp.abs(d - nd) <= diff_insame))
+    return tuple(out)
+
+
+def _speckle_sweep_fn(d, valid, diff_insame, connectivity, big):
+    """Build the one-sweep label-propagation function for the min-label
+    flood (full connected-run reach along all 4 directions per sweep).
+
+    Hillis-Steele run-min doubling: the connectivity is FIXED across the
+    fixpoint iterations, so the "neighbor 2^k away is in my run" masks are
+    precomputed once outside the while loop (one break cumsum per
+    direction) and every sweep inside the loop is just shift+select+min
+    on contiguous slices — no per-iteration segmented scans.  (The
+    associative_scan formulation re-derived the segment flags at every
+    combine level of every sweep of every iteration; this rewrite
+    measured 9.7 -> 1.8 ms on the Teddy flagship speckle stage, v5e.)
+
+    Reused by the row-sharded variant (`parallel.post_shard`), where each
+    tile builds its machinery from halo-extended connectivity.
+    """
+    h, w = d.shape
+    conn_l, conn_u, conn_d1, conn_d2 = speckle_connectivity(d, valid, diff_insame)
+
+    masks_h = _doubling_masks(conn_l, 1)
+    masks_v = _doubling_masks(conn_u, 0)
+    if connectivity == 8:
+        sc_d1, _ = _shear(conn_d1, True, False)
+        sc_d2, _ = _shear(conn_d2, False, False)
+        masks_d1 = _doubling_masks(sc_d1, 0)
+        masks_d2 = _doubling_masks(sc_d2, 0)
+
+    def sweep(labels):
+        new = _run_min_total(labels, masks_h, 1, big)
+        new = _run_min_total(new, masks_v, 0, big)
+        if connectivity == 8:
+            for masks, anti in ((masks_d1, True), (masks_d2, False)):
+                ls, _ = _shear(new, anti, big)
+                ls = _run_min_total(ls, masks, 0, big)
+                new = _unshear(ls, h, w, anti, big)
+        return new
+
+    return sweep
+
+
 # ---------------------------------------------------------------------------
 # nearest-valid scans (the engine behind every fill)
 # ---------------------------------------------------------------------------
@@ -248,32 +288,48 @@ def _nearest_valid_along_axis(
     values: jax.Array, valid: jax.Array, axis: int, reverse: bool
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(value, steps, found) of the nearest valid pixel strictly before the
-    current one along +axis (reverse=False) or after it (reverse=True),
-    via an O(log n) associative scan."""
+    current one along +axis (reverse=False) or after it (reverse=True).
+
+    Hillis-Steele doubling: at step 2^k each element holds the nearest
+    valid within its trailing (leading, if reverse) 2^k window, so taking
+    the own hit when found and the 2^k-shifted one otherwise doubles the
+    window.  log2(n) rounds of contiguous shift+select — measurably faster
+    on v5e than the tuple-carrying `associative_scan` formulation (which
+    re-derives the combine tree per call with awkward interleaved slices).
+    """
     n = values.shape[axis]
     pos = jnp.arange(n, dtype=jnp.int32)
     shape = [1] * values.ndim
     shape[axis] = n
     pos = jnp.broadcast_to(pos.reshape(shape), values.shape)
-    v, i, h = jax.lax.associative_scan(
-        _ff_op, (values, pos, valid), axis=axis, reverse=reverse
-    )
-    # make it exclusive: shift by one along the scan direction
-    def _shift_excl(x, fill):
+
+    def _shift(x, s, fill):
+        # bring the element s positions earlier along the scan direction
         pad = [(0, 0)] * x.ndim
-        if not reverse:
-            pad[axis] = (1, 0)
-            sl = [slice(None)] * x.ndim
-            sl[axis] = slice(0, n)
-            return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
-        pad[axis] = (0, 1)
         sl = [slice(None)] * x.ndim
-        sl[axis] = slice(1, n + 1)
+        if not reverse:
+            pad[axis] = (s, 0)
+            sl[axis] = slice(0, n)
+        else:
+            pad[axis] = (0, s)
+            sl[axis] = slice(s, s + n)
         return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
-    v = _shift_excl(v, 0.0)
-    i = _shift_excl(i, jnp.int32(0))
-    h = _shift_excl(h, False)
+    v, i, h = values, jnp.where(valid, pos, 0), valid
+    s = 1
+    while s < n:
+        vs = _shift(v, s, 0.0)
+        is_ = _shift(i, s, jnp.int32(0))
+        hs = _shift(h, s, False)
+        v = jnp.where(h, v, vs)
+        i = jnp.where(h, i, is_)
+        h = h | hs
+        s *= 2
+
+    # make it exclusive: shift by one along the scan direction
+    v = _shift(v, 1, 0.0)
+    i = _shift(i, 1, jnp.int32(0))
+    h = _shift(h, 1, False)
     steps = jnp.abs(pos - i)
     return v, steps, h
 
@@ -530,12 +586,26 @@ def _pick_rank(sorted_stack: jax.Array, idx: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _window_stack(x: jax.Array, radius: int, fill) -> Tuple[jax.Array, jax.Array]:
-    """[(2r+1)^2, H, W] stack of shifted copies + in-bounds mask."""
+def _window_stack(
+    x: jax.Array,
+    radius: int,
+    fill,
+    row_offset: int = 0,
+    global_rows: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """[(2r+1)^2, H, W] stack of shifted copies + in-bounds mask.
+
+    ``row_offset``/``global_rows`` position a halo-extended row tile inside
+    the full image so the in-bounds mask reflects the *global* image
+    borders (parallel.post_shard), keeping truncate-border semantics
+    bit-identical to the untiled run.
+    """
     h, w = x.shape
+    if global_rows is None:
+        global_rows = h
     xs = []
     inb = []
-    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
     ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     xp = jnp.pad(x, radius, constant_values=fill)
     for dy in range(-radius, radius + 1):
@@ -544,18 +614,28 @@ def _window_stack(x: jax.Array, radius: int, fill) -> Tuple[jax.Array, jax.Array
                 jax.lax.dynamic_slice(xp, (radius + dy, radius + dx), (h, w))
             )
             inb.append(
-                (ri + dy >= 0) & (ri + dy < h) & (ci + dx >= 0) & (ci + dx < w)
+                (ri + dy >= 0)
+                & (ri + dy < global_rows)
+                & (ci + dx >= 0)
+                & (ci + dx < w)
             )
     return jnp.stack(xs), jnp.stack(inb)
 
 
-def median_filter(x: jax.Array, size: int, border: str = "truncate") -> jax.Array:
+def median_filter(
+    x: jax.Array,
+    size: int,
+    border: str = "truncate",
+    row_offset: int = 0,
+    global_rows: Optional[int] = None,
+) -> jax.Array:
     """Window median.
 
     border='truncate' matches the reference's own median
     (`PostProcessing.h:314-344`, `SAD/Sad.h:224-249`): only in-bounds values
     participate and the median is ``sorted[count / 2]``.
     border='replicate' matches OpenCV ``medianBlur`` (`ASWeight.cpp:74,78`).
+    ``row_offset``/``global_rows``: see :func:`_window_stack`.
     """
     radius = size // 2
     xf = x.astype(jnp.float32)
@@ -568,7 +648,7 @@ def median_filter(x: jax.Array, size: int, border: str = "truncate") -> jax.Arra
             for dx in range(-radius, radius + 1)
         ]
         return _sort_stack(jnp.stack(xs))[len(xs) // 2]
-    stack, inb = _window_stack(xf, radius, jnp.inf)
+    stack, inb = _window_stack(xf, radius, jnp.inf, row_offset, global_rows)
     stack = jnp.where(inb, stack, jnp.inf)
     count = jnp.sum(inb, axis=0)
     s = _sort_stack(stack)

@@ -1,0 +1,203 @@
+"""Row-sharded post-processing (VERDICT r1 item 6; SURVEY.md §5
+"long-context / sequence parallelism").
+
+`tiled_pipeline` historically gathered full disparity maps and ran L4
+replicated — cheap at Teddy size, but at serving sizes (720p, D=128) a
+replicated 20+ ms post chain erases the tile-DP gains.  This module runs
+the whole chain inside `shard_map`:
+
+* LR checks are row-local — direct per-tile.
+* Speckle removal is a global connected-components problem: each tile
+  floods locally with GLOBAL labels on a 1-row-halo extension (reusing
+  `ops.post._speckle_sweep_fn`), then the fixpoint loop min-merges edge
+  labels with its neighbors via `ppermute` each sweep — a component
+  spanning k tiles converges in <= k exchanges; convergence is detected
+  with a `psum` of the change flags.  Component areas are global
+  histograms combined with `psum`.
+* Hole filling / median run on a `max_search`-row halo with rows beyond
+  the global image masked invalid, so ray and truncate-border semantics
+  match the untiled run exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stereo_match_traditional_tpu.ops import post
+from stereo_match_traditional_tpu.ops.post import (
+    INVALID,
+    _speckle_sweep_fn,
+)
+
+
+def _edge_from_prev(x_row, axis_name, fill):
+    """Receive the neighbor-above's row (tile i gets tile i-1's row)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    y = lax.ppermute(x_row, axis_name, perm)
+    return jnp.where(idx == 0, jnp.asarray(fill, x_row.dtype), y)
+
+
+def _edge_from_next(x_row, axis_name, fill):
+    """Receive the neighbor-below's row (tile i gets tile i+1's row)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    perm = [(i + 1, i) for i in range(n - 1)]
+    y = lax.ppermute(x_row, axis_name, perm)
+    return jnp.where(idx == n - 1, jnp.asarray(fill, x_row.dtype), y)
+
+
+def remove_speckles_sharded(
+    disp: jax.Array,
+    diff_insame: float,
+    min_speckle_area: int,
+    axis_name: str,
+    row_offset,
+    global_rows: int,
+    invalid_value: float = INVALID,
+    background: Optional[float] = None,
+    max_iters: int = 256,
+    connectivity: int = 8,
+) -> jax.Array:
+    """Exact sharded `ops.post.remove_speckles` for a [T, W] row tile
+    inside `shard_map`.
+
+    ``row_offset`` is the tile's first global row (traced or static);
+    rows at or beyond ``global_rows`` (the bottom tile's padding) are
+    treated as invalid so padded runs can't glue components together.
+    """
+    t, w = disp.shape
+    d = disp.astype(jnp.float32)
+    row_ids = row_offset + jnp.arange(t, dtype=jnp.int32)
+    in_image = (row_ids < global_rows)[:, None]
+    valid = jnp.isfinite(d) & (d != invalid_value) & in_image
+
+    # 1-row halo of disparities/validity for cross-boundary connectivity.
+    d_top = _edge_from_prev(d[-1:], axis_name, jnp.nan)
+    d_bot = _edge_from_next(d[:1], axis_name, jnp.nan)
+    v_top = _edge_from_prev(valid[-1:], axis_name, False)
+    v_bot = _edge_from_next(valid[:1], axis_name, False)
+    d_ext = jnp.concatenate([d_top, d, d_bot], axis=0)          # [T+2, W]
+    v_ext = jnp.concatenate([v_top, valid, v_bot], axis=0)
+
+    big = jnp.int32(global_rows * w)
+    rows_ext = (row_offset - 1) + jnp.arange(t + 2, dtype=jnp.int32)
+    idx_ext = rows_ext[:, None] * w + jnp.arange(w, dtype=jnp.int32)[None, :]
+    labels0 = jnp.where(v_ext, idx_ext, big)
+
+    sweep = _speckle_sweep_fn(d_ext, v_ext, diff_insame, connectivity, big)
+
+    def step(state):
+        labels, _, it = state
+        new = sweep(labels)
+        # min-merge halo rows with the neighbors' freshly propagated
+        # versions of the same global rows
+        top = jnp.minimum(new[:1], _edge_from_prev(new[t : t + 1], axis_name, big))
+        bot = jnp.minimum(new[t + 1 :], _edge_from_next(new[1:2], axis_name, big))
+        new = jnp.concatenate([top, new[1 : t + 1], bot], axis=0)
+        changed = lax.psum(jnp.any(new != labels).astype(jnp.int32), axis_name)
+        return new, changed > 0, it + 1
+
+    def cond(state):
+        return state[1] & (state[2] < max_iters)
+
+    labels_ext, _, _ = lax.while_loop(
+        cond, step, (labels0, jnp.bool_(True), jnp.int32(0))
+    )
+    labels = labels_ext[1 : t + 1]
+
+    flat = jnp.where(valid, labels, big).reshape(-1)
+    counts = jnp.zeros(global_rows * w + 1, jnp.int32).at[flat].add(
+        valid.reshape(-1).astype(jnp.int32)
+    )
+    counts = lax.psum(counts, axis_name)
+    area = counts[flat].reshape(t, w)
+    kill = valid & (area < min_speckle_area)
+    if background is not None:
+        seed = (valid & (d != background)).reshape(-1).astype(jnp.int32)
+        seeds = jnp.zeros(global_rows * w + 1, jnp.int32).at[flat].add(seed)
+        seeds = lax.psum(seeds, axis_name)
+        kill = kill & (seeds[flat].reshape(t, w) > 0)
+    return jnp.where(kill, invalid_value, d)
+
+
+def _mask_outside_rows(x, row_offset, global_rows, fill):
+    rows = row_offset + jnp.arange(x.shape[0], dtype=jnp.int32)
+    ok = ((rows >= 0) & (rows < global_rows))[:, None]
+    return jnp.where(ok, x, jnp.asarray(fill, x.dtype))
+
+
+def ad_census_post_sharded(
+    disp_l: jax.Array,
+    disp_r: jax.Array,
+    cfg,
+    axis_name: str,
+    row_offset,
+    global_rows: int,
+):
+    """The full AD-Census dormant post chain (`main.cpp:91-94` semantics as
+    `models.ad_census.ad_census_post`) on [T, W] row tiles inside
+    `shard_map`: LR consistency (row-local) -> sharded speckle removal ->
+    halo'd 8-direction hole fill -> halo'd truncate-border median."""
+    from stereo_match_traditional_tpu.parallel.halo import add_row_halo
+
+    t, w = disp_l.shape
+    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    d = remove_speckles_sharded(
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, axis_name,
+        row_offset, global_rows, invalid_value=post.INVALID,
+    )
+
+    # Hole fill rays reach <= max_search rows; +radius for the median.
+    halo = cfg.disp_range + cfg.median_size // 2
+    ro_ext = row_offset - halo
+    d_e = add_row_halo(d, halo, axis_name)
+    occ_e = add_row_halo(lr.occlusion, halo, axis_name)
+    mis_e = add_row_halo(lr.mismatch, halo, axis_name)
+    # halo rows replicated past the global image must behave like the
+    # border (no candidates, no masks), exactly as the untiled run sees it
+    d_e = _mask_outside_rows(d_e, ro_ext, global_rows, post.INVALID)
+    occ_e = _mask_outside_rows(occ_e, ro_ext, global_rows, False)
+    mis_e = _mask_outside_rows(mis_e, ro_ext, global_rows, False)
+
+    d_e = post.fill_holes_8dir(
+        d_e, occ_e, mis_e, post.INVALID, max_search=cfg.disp_range
+    )
+    d_e = post.median_filter(
+        d_e, cfg.median_size, border="truncate",
+        row_offset=ro_ext, global_rows=global_rows,
+    )
+    return d_e[halo : halo + t], lr.occlusion, lr.mismatch
+
+
+def cblsm_post_sharded(
+    disp_l: jax.Array,
+    disp_r: jax.Array,
+    cfg,
+    axis_name: str,
+    row_offset,
+    global_rows: int,
+):
+    """`models.cblsm.cblsm_post` (LR -> speckles -> median) sharded."""
+    from stereo_match_traditional_tpu.parallel.halo import add_row_halo
+
+    t, w = disp_l.shape
+    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    d = remove_speckles_sharded(
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, axis_name,
+        row_offset, global_rows, invalid_value=post.INVALID,
+    )
+    halo = cfg.median_size // 2
+    ro_ext = row_offset - halo
+    d_e = add_row_halo(d, halo, axis_name)
+    d_e = _mask_outside_rows(d_e, ro_ext, global_rows, post.INVALID)
+    d_e = post.median_filter(
+        d_e, cfg.median_size, border="truncate",
+        row_offset=ro_ext, global_rows=global_rows,
+    )
+    return d_e[halo : halo + t], lr.occlusion, lr.mismatch

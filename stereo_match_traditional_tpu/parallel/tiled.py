@@ -192,6 +192,17 @@ _POST = {
 }
 
 
+def _post_sharded(name: str):
+    """Row-sharded post chains (`parallel.post_shard`) — lazy import to keep
+    the module import graph acyclic."""
+    from stereo_match_traditional_tpu.parallel import post_shard
+
+    return {
+        "ad_census": post_shard.ad_census_post_sharded,
+        "cblsm": post_shard.cblsm_post_sharded,
+    }.get(name)
+
+
 def _check_tiled_support(name: str, cfg) -> None:
     """The tile cores implement the *active* reference paths; reject config
     variants they would otherwise silently ignore (run the untiled pipeline
@@ -218,21 +229,31 @@ def _check_tiled_support(name: str, cfg) -> None:
         )
 
 
-def tiled_pipeline(name: str, cfg, mesh: Mesh, axis_name: str = "tile"):
+def tiled_pipeline(
+    name: str, cfg, mesh: Mesh, axis_name: str = "tile", shard_post: bool = False
+):
     """Build a jittable ``(left, right) -> StereoResult`` running ``name``
     tile-data-parallel over ``mesh[axis_name]``.
 
     Rows are padded (edge-replicate) to a tile multiple; cost/aggregation/WTA
-    run per tile under `shard_map` with exact halos; post-processing (when
-    the pipeline config enables it) runs on the gathered full maps — its
-    stages (speckle CC labeling, 8-direction fills) have image-global
-    receptive fields, and at [H, W] it is cheap relative to the [D, H, W]
-    volume stages.
+    run per tile under `shard_map` with exact halos.  Post-processing (when
+    the pipeline config enables it) runs either on the gathered full maps
+    (default — cheap at Teddy size) or, with ``shard_post=True``, row-sharded
+    inside the same `shard_map` (`parallel.post_shard`): speckle components
+    min-merge across tiles via `ppermute`, fills/medians run on halo'd tiles
+    with global-border masking.  Sharded post is exact (same float ops per
+    pixel) and keeps serving-size maps (720p+) from serializing on one
+    device; it is implemented for ``ad_census`` and ``cblsm``.
     """
     _check_tiled_support(name, cfg)
     core = _TILE_CORES[name]
     halo = receptive_field_rows(name, cfg)
     n = mesh.shape[axis_name]
+    post_fn = _post_sharded(name) if shard_post else None
+    if shard_post and post_fn is None:
+        raise NotImplementedError(
+            f"shard_post is implemented for ad_census/cblsm, not {name!r}"
+        )
 
     def run(left, right):
         h, w = left.shape[:2]
@@ -250,7 +271,14 @@ def tiled_pipeline(name: str, cfg, mesh: Mesh, axis_name: str = "tile"):
             ro_ext = idx * t - halo  # global row of the first extended row
             le = add_row_halo(lt, halo, axis_name)
             re = add_row_halo(rt, halo, axis_name)
-            return core(le, re, cfg, ro_ext, h, halo, axis_name, h)
+            out = core(le, re, cfg, ro_ext, h, halo, axis_name, h)
+            if post_fn is not None and getattr(cfg, "run_post", False):
+                dmap, occl, mism = post_fn(
+                    out["disp_left"], out["disp_right"], cfg, axis_name,
+                    row_offset=idx * t, global_rows=h,
+                )
+                out = dict(out, disp_final=dmap, occlusion=occl, mismatch=mism)
+            return out
 
         sharded = jax.shard_map(
             tile_fn,
@@ -266,7 +294,11 @@ def tiled_pipeline(name: str, cfg, mesh: Mesh, axis_name: str = "tile"):
             disp_r = disp_r[:h]
 
         disp_final = occl = mism = None
-        if getattr(cfg, "run_post", False) and name in _POST:
+        if "disp_final" in tiles:
+            disp_final = tiles["disp_final"][:h]
+            occl = tiles["occlusion"][:h]
+            mism = tiles["mismatch"][:h]
+        elif getattr(cfg, "run_post", False) and name in _POST:
             disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)
         return StereoResult(disp_l, disp_r, disp_final, occl, mism)
 
@@ -283,6 +315,7 @@ def run_tiled(
     cfg=None,
     mesh: Optional[Mesh] = None,
     axis_name: str = "tile",
+    shard_post: bool = False,
 ) -> StereoResult:
     """One-shot convenience wrapper around :func:`tiled_pipeline`.
 
@@ -298,10 +331,12 @@ def run_tiled(
         from stereo_match_traditional_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_names=(axis_name,))
-    key = (name, cfg, mesh, axis_name)
+    key = (name, cfg, mesh, axis_name, shard_post)
     fn = _TILED_CACHE.get(key)
     if fn is None:
-        fn = _TILED_CACHE[key] = jax.jit(tiled_pipeline(name, cfg, mesh, axis_name))
+        fn = _TILED_CACHE[key] = jax.jit(
+            tiled_pipeline(name, cfg, mesh, axis_name, shard_post=shard_post)
+        )
     return fn(jnp.asarray(left), jnp.asarray(right))
 
 
