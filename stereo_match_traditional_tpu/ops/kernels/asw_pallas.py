@@ -29,6 +29,27 @@ transcendental per (pixel, offset, d)):
 
 (`bilateralfiterWight` multiplies the space mask into *both* the left and
 right masks — `ASW/ASW.h:222-248` — hence the squared space term.)
+
+Why the fused form and not the reference's factored wL(p,o)*wR(p-d,o)
+(`ASW.h:222-248`), which needs D-fold fewer exps?  Both measured dead
+ends on v5e (Teddy 450x375, D=60, left volume):
+
+* exp ablation: deleting the exp from this kernel entirely leaves the
+  runtime unchanged (78.7 vs 78.0 ms) — the transcendental pipelines for
+  free behind the surrounding vector ops, so reducing exp *count* cannot
+  help; the kernel is bound by its ~9 essential VPU ops per
+  (pixel, offset, d).
+* factored rewrite (measured, then reverted — see git history): computing
+  aL/aR once per (pixel, offset) at pixel rank and realizing
+  w = aL * aR(p-d) via per-d static lane slices of the unshifted right
+  tile removes ~5 D-rank arithmetic ops but adds 2 unaligned 128-wide
+  lane-slice extractions per (offset, d) to build the shifted stacks
+  in-register.  Mosaic lowers each unaligned lane slice to ~2-3
+  rotate/select vreg ops, which costs more than the arithmetic it saves:
+  113.4 ms vs 78.0 ms fused (bit-accurate to 4e-6 relative).  The HBM
+  shifted stack below is precisely what makes the per-d shifts free (the
+  DMA engine does them), at the price of recomputing dR at D-rank — the
+  cheaper side of the trade on this hardware.
 """
 
 from __future__ import annotations
