@@ -201,3 +201,68 @@ def cblsm_post_sharded(
         row_offset=ro_ext, global_rows=global_rows,
     )
     return d_e[halo : halo + t], lr.occlusion, lr.mismatch
+
+
+def asw_post_sharded(
+    disp_l: jax.Array,
+    disp_r: jax.Array,
+    cfg,
+    axis_name: str,
+    row_offset,
+    global_rows: int,
+):
+    """`models.asw.asw_post` (`ASWeight.cpp:66-78`) on [T, W] row tiles:
+    LR check writing 0 (row-local) -> global min-max u8 scale via
+    pmin/pmax -> sharded 4-connectivity speckle filter -> medianBlur(5) ->
+    `FillImageNew` (purely horizontal, row-local) -> medianBlur(3), the
+    medians on a 3-row halo with shrinking-halo accounting (median5 output
+    is exact on all but the outer 2 halo rows; median3 then consumes the
+    remaining 1).
+
+    OpenCV's BORDER_REPLICATE replicates the *current stage's* edge row,
+    so between vertical-window stages every out-of-image row (top halo
+    rows and the bottom tile's padding) is re-pointed at the processed
+    global edge row with a clamped row gather — a stale replicate (e.g.
+    pre-speckle values in the bottom padding, or a halo row that ran the
+    median on a different window than the true edge row) would otherwise
+    leak into the next median's window.
+
+    The 8-direction hole fill of the SAD chain has *unbounded* ray reach
+    (`Sad.h:365`), so `sad_post` has no exact row-halo'd form and keeps the
+    gathered path.
+    """
+    t, w = disp_l.shape
+    lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, invalid_value=0.0)
+
+    def _replicate_edges(x, first_row):
+        # out-of-image rows take the in-image edge row's current value
+        rows = first_row + jnp.arange(x.shape[0], dtype=jnp.int32)
+        src = jnp.clip(rows, 0, global_rows - 1) - first_row
+        return jnp.take(x, src, axis=0)
+
+    # global cv::normalize(0,255,NORM_MINMAX) (`ASWeight.cpp:69`); bottom
+    # padding rows replicate the global edge row so they cannot perturb
+    # the extrema
+    d = lr.disp
+    lo = lax.pmin(jnp.min(d), axis_name)
+    hi = lax.pmax(jnp.max(d), axis_name)
+    scale = jnp.where(hi > lo, 255.0 / (hi - lo), 0.0)
+    d = jnp.round((d - lo) * scale)
+
+    # filterSpeckles(0, 40, 2) semantics as in `models.asw.asw_post`
+    d = remove_speckles_sharded(
+        d, cfg.speckle_diff, cfg.speckle_area + 1, axis_name,
+        row_offset, global_rows, invalid_value=0.0, connectivity=4,
+    )
+    d = _replicate_edges(d, row_offset)  # bottom padding: post-speckle edge
+
+    halo = cfg.median_first // 2 + cfg.median_second // 2
+    ro_ext = row_offset - halo
+    from stereo_match_traditional_tpu.parallel.halo import add_row_halo
+
+    d_e = add_row_halo(d, halo, axis_name)
+    d_e = post.median_filter(d_e, cfg.median_first, border="replicate")
+    d_e = _replicate_edges(d_e, ro_ext)  # median5'd edge, not halo's window
+    d_e = post.fill_image_new(d_e)
+    d_e = post.median_filter(d_e, cfg.median_second, border="replicate")
+    return d_e[halo : halo + t], None, None

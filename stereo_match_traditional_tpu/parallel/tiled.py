@@ -200,6 +200,7 @@ def _post_sharded(name: str):
     return {
         "ad_census": post_shard.ad_census_post_sharded,
         "cblsm": post_shard.cblsm_post_sharded,
+        "asw": post_shard.asw_post_sharded,
     }.get(name)
 
 
@@ -243,7 +244,8 @@ def tiled_pipeline(
     min-merge across tiles via `ppermute`, fills/medians run on halo'd tiles
     with global-border masking.  Sharded post is exact (same float ops per
     pixel) and keeps serving-size maps (720p+) from serializing on one
-    device; it is implemented for ``ad_census`` and ``cblsm``.
+    device; it is implemented for ``ad_census``, ``cblsm`` and ``asw``
+    (SAD's unbounded hole-fill rays admit no exact row-halo'd form).
     """
     _check_tiled_support(name, cfg)
     core = _TILE_CORES[name]
@@ -252,7 +254,9 @@ def tiled_pipeline(
     post_fn = _post_sharded(name) if shard_post else None
     if shard_post and post_fn is None:
         raise NotImplementedError(
-            f"shard_post is implemented for ad_census/cblsm, not {name!r}"
+            f"shard_post is implemented for ad_census/cblsm/asw, not {name!r}"
+            " (the SAD hole fill's unbounded ray reach, Sad.h:365, has no"
+            " exact row-halo'd form; use the gathered default)"
         )
 
     def run(left, right):
@@ -296,8 +300,10 @@ def tiled_pipeline(
         disp_final = occl = mism = None
         if "disp_final" in tiles:
             disp_final = tiles["disp_final"][:h]
-            occl = tiles["occlusion"][:h]
-            mism = tiles["mismatch"][:h]
+            occl = tiles.get("occlusion")
+            mism = tiles.get("mismatch")
+            occl = occl[:h] if occl is not None else None
+            mism = mism[:h] if mism is not None else None
         elif getattr(cfg, "run_post", False) and name in _POST:
             disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)
         return StereoResult(disp_l, disp_r, disp_final, occl, mism)

@@ -14,7 +14,12 @@ import jax
 import numpy as np
 import pytest
 
-from stereo_match_traditional_tpu.config import ADCensusConfig, CBLSMConfig, SADConfig
+from stereo_match_traditional_tpu.config import (
+    ADCensusConfig,
+    ASWConfig,
+    CBLSMConfig,
+    SADConfig,
+)
 from stereo_match_traditional_tpu.parallel.mesh import make_mesh
 from stereo_match_traditional_tpu.parallel.tiled import tiled_pipeline
 from stereo_match_traditional_tpu.utils.synthetic import make_pair
@@ -56,3 +61,14 @@ def test_shard_post_unsupported_pipeline_raises():
     mesh = make_mesh(8, ("tile",))
     with pytest.raises(NotImplementedError):
         tiled_pipeline("sad", SADConfig(), mesh, shard_post=True)
+
+
+def test_asw_shard_post_exact():
+    # replicate-border medians + global min-max scale + 4-conn speckles;
+    # 90 rows exercises the bottom tile's padding re-replication
+    left, right, _ = make_pair(90, 70, 8, seed=13)
+    cfg = ASWConfig(disp_range=8, win_size=2, run_post=True)
+    mesh = make_mesh(8, ("tile",))
+    ref = jax.jit(tiled_pipeline("asw", cfg, mesh, shard_post=False))(left, right)
+    got = jax.jit(tiled_pipeline("asw", cfg, mesh, shard_post=True))(left, right)
+    _assert_result_equal(got, ref)
