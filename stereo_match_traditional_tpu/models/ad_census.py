@@ -15,7 +15,9 @@ from stereo_match_traditional_tpu.utils.profiling import stage_scope
 def ad_census_post(disp_l, disp_r, cfg: ADCensusConfig):
     """Dormant AD-Census post chain (`main.cpp:91-94`): LeftRightConsistency
     -> RemoveSpeckles -> 8-direction FillTheHole -> MedianFilter."""
-    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    lr = post.lr_check_consistency(
+        disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
+    )
     dmap = post.remove_speckles(
         lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
     )
@@ -136,7 +138,10 @@ def ad_census_post_canonical(disp_l, disp_r, agg_l, arms_l, cfg: ADCensusConfig)
     d = disp_l
     occl = mism = None
     if cp.do_lr_check:
-        lr = post.lr_check_consistency(disp_l, disp_r, cp.lrcheck_thres, post.INVALID)
+        lr = post.lr_check_consistency(
+            disp_l, disp_r, cp.lrcheck_thres, post.INVALID,
+            disp_range=cfg.disp_range,
+        )
         d, occl, mism = lr.disp, lr.occlusion, lr.mismatch
     if cp.do_filling:
         d = post.iterative_region_voting(

@@ -24,7 +24,9 @@ def asw_post(disp_l, disp_r, cfg: ASWConfig):
     (`ASW.h:108-145`) -> min-max scale to u8 (`ASWeight.cpp:69`) ->
     `filterSpeckles(0, 40, 2)` -> `medianBlur(5)` -> `FillImageNew` ->
     `medianBlur(3)`."""
-    lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, invalid_value=0.0)
+    lr = post.lr_check_simple(
+        disp_l, disp_r, cfg.lr_gate, invalid_value=0.0, disp_range=cfg.disp_range
+    )
     d = _minmax_u8(lr.disp)
     d = post.remove_speckles(
         d, cfg.speckle_diff, cfg.speckle_area + 1, invalid_value=0.0,

@@ -13,7 +13,9 @@ from stereo_match_traditional_tpu.utils.profiling import stage_scope
 def cblsm_post(disp_l, disp_r, cfg: CBLSMConfig):
     """Dormant CBLSM post chain (`CBLSM.cpp:160-162`): LR consistency ->
     RemoveSpeckles -> MedianFilter."""
-    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    lr = post.lr_check_consistency(
+        disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
+    )
     dmap = post.remove_speckles(
         lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
     )

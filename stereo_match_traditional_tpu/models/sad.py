@@ -15,7 +15,9 @@ def sad_post(disp_l, disp_r, cfg: SADConfig):
     occlusion/mismatch classes (`Sad.h:184-222`), speckle removal
     (`Sad.h:251-315`), 8-direction hole fill (`Sad.h:317-400`), and the
     truncate-border median (`Sad.h:224-249`)."""
-    lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    lr = post.lr_check_simple(
+        disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.max_disparity
+    )
     d = post.remove_speckles(
         lr.disp,
         cfg.speckle_diff,

@@ -33,11 +33,35 @@ class LRResult(NamedTuple):
     mismatch: jax.Array   # bool [H, W]
 
 
+def _banded_select_cols(vals, col, jj, lo, hi):
+    """``vals[i, col[i, j]]`` where ``col`` is known to stay within the
+    per-pixel band ``[j + lo, j + hi]`` (disparity-bounded reprojection),
+    realized as an unrolled shift+select chain over the band instead of a
+    per-element lane gather — `take_along_axis` along the 128-lane axis
+    lowers to scalar-core loads (measured 1.7 ms for the two gathers of
+    `lr_check_consistency` at Teddy size vs ~0.4 ms for the selects).
+    Out-of-band entries return 0; every caller masks them (they only occur
+    for invalid/garbage disparities whose classification is
+    value-independent).
+    """
+    w = vals.shape[1]
+    off = col - jj
+    out = jnp.zeros_like(vals)
+    for o in range(lo, hi + 1):
+        if o <= 0:
+            sh = jnp.pad(vals, ((0, 0), (-o, 0)))[:, :w]
+        else:
+            sh = jnp.pad(vals, ((0, 0), (0, o)))[:, o : o + w]
+        out = jnp.where(off == o, sh, out)
+    return out
+
+
 def lr_check_simple(
     disp_left: jax.Array,
     disp_right: jax.Array,
     gate: float = 5.0,
     invalid_value: float = INVALID,
+    disp_range: Optional[int] = None,
 ) -> LRResult:
     """Integer-index LR check (`SAD/Sad.h:184-222`, `ASW/ASW.h:108-145`).
 
@@ -46,12 +70,23 @@ def lr_check_simple(
     The ASW variant writes 0 instead of Invalid_Float — pass
     ``invalid_value=0``.  The reference reads out of bounds when
     j - dL < 0 (`Sad.h:204`); here the gather clamps (intended semantics).
+
+    ``disp_range``: when the caller guarantees ``disp_left`` is finite with
+    values in ``[0, disp_range)`` (every pipeline does — this check runs on
+    raw WTA output), the lane gather is replaced by a banded shift+select
+    (see :func:`_banded_select_cols`); results are identical for
+    in-contract maps (a non-finite ``disp_left`` entry indexes via an
+    overflowing int cast in the gather path, i.e. garbage either way).
     """
     h, w = disp_left.shape
     dl = disp_left.astype(jnp.float32)
+    drf = disp_right.astype(jnp.float32)
     jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     idx = jnp.clip(jj - dl.astype(jnp.int32), 0, w - 1)
-    dr = jnp.take_along_axis(disp_right.astype(jnp.float32), idx, axis=1)
+    if disp_range is None:
+        dr = jnp.take_along_axis(drf, idx, axis=1)
+    else:
+        dr = _banded_select_cols(drf, idx, jj, -(disp_range - 1), 0)
     bad = jnp.abs(dl - dr) > gate
     occl = bad & (dl < dr)
     mism = bad & ~occl
@@ -63,6 +98,7 @@ def lr_check_consistency(
     disp_right: jax.Array,
     gate: float = 1.0,
     invalid_value: float = INVALID,
+    disp_range: Optional[int] = None,
 ) -> LRResult:
     """Canonical rounded LR check (`AD-CensusV1/PostProcessing.h:72-135`).
 
@@ -71,22 +107,37 @@ def lr_check_consistency(
     * |dL - dR| > gate -> invalid; classified via the reprojection
       col_rl = int(col_right + dR + 0.5): occlusion iff dL(col_rl) > dL(j)
       (:110-122), mismatch when col_rl leaves (0, W).
+
+    ``disp_range``: banded shift+select instead of lane gathers when valid
+    disparities are known to live in ``[0, disp_range)`` — see
+    :func:`lr_check_simple`.  Out-of-band reprojections only arise from
+    invalid/garbage disparities, whose classification the masks force
+    independently of the gathered value.
     """
     h, w = disp_left.shape
     dl = disp_left.astype(jnp.float32)
+    drf = disp_right.astype(jnp.float32)
     already_invalid = ~jnp.isfinite(dl) | (dl == invalid_value)
 
     jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     col_right = jnp.trunc(jj.astype(jnp.float32) - dl + 0.5).astype(jnp.int32)
     in_range = (col_right >= 0) & (col_right < w)
-    dr = jnp.take_along_axis(
-        disp_right.astype(jnp.float32), jnp.clip(col_right, 0, w - 1), axis=1
-    )
+    idx1 = jnp.clip(col_right, 0, w - 1)
+    if disp_range is None:
+        dr = jnp.take_along_axis(drf, idx1, axis=1)
+    else:
+        dr = _banded_select_cols(drf, idx1, jj, -(disp_range - 1), 0)
     bad = in_range & (jnp.abs(dl - dr) > gate)
 
     col_rl = jnp.trunc(col_right.astype(jnp.float32) + dr + 0.5).astype(jnp.int32)
     rl_in = (col_rl > 0) & (col_rl < w)
-    disp_l_rl = jnp.take_along_axis(dl, jnp.clip(col_rl, 0, w - 1), axis=1)
+    idx2 = jnp.clip(col_rl, 0, w - 1)
+    if disp_range is None:
+        disp_l_rl = jnp.take_along_axis(dl, idx2, axis=1)
+    else:
+        disp_l_rl = _banded_select_cols(
+            dl, idx2, jj, -(disp_range - 1), disp_range - 1
+        )
 
     occl = bad & rl_in & (disp_l_rl > dl)
     mism = (bad & ~occl) | (~in_range) | already_invalid

@@ -147,7 +147,9 @@ def ad_census_post_sharded(
     from stereo_match_traditional_tpu.parallel.halo import add_row_halo
 
     t, w = disp_l.shape
-    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    lr = post.lr_check_consistency(
+        disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
+    )
     d = remove_speckles_sharded(
         lr.disp, cfg.speckle_diff, cfg.speckle_area, axis_name,
         row_offset, global_rows, invalid_value=post.INVALID,
@@ -187,7 +189,9 @@ def cblsm_post_sharded(
     from stereo_match_traditional_tpu.parallel.halo import add_row_halo
 
     t, w = disp_l.shape
-    lr = post.lr_check_consistency(disp_l, disp_r, cfg.lr_gate, post.INVALID)
+    lr = post.lr_check_consistency(
+        disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
+    )
     d = remove_speckles_sharded(
         lr.disp, cfg.speckle_diff, cfg.speckle_area, axis_name,
         row_offset, global_rows, invalid_value=post.INVALID,
@@ -232,7 +236,9 @@ def asw_post_sharded(
     gathered path.
     """
     t, w = disp_l.shape
-    lr = post.lr_check_simple(disp_l, disp_r, cfg.lr_gate, invalid_value=0.0)
+    lr = post.lr_check_simple(
+        disp_l, disp_r, cfg.lr_gate, invalid_value=0.0, disp_range=cfg.disp_range
+    )
 
     def _replicate_edges(x, first_row):
         # out-of-image rows take the in-image edge row's current value

@@ -1,5 +1,6 @@
 """Post-processing vs. oracles: LR checks, speckles, fills, medians."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -170,3 +171,31 @@ def test_remove_speckles_max_iters_bounds_loop():
         post.remove_speckles(d, 1.0, 2, invalid_value=np.inf, max_iters=1)
     )
     assert out.shape == (64, 64)  # bounded loop returns (possibly unconverged)
+
+
+def test_lr_check_banded_matches_gather():
+    """disp_range-banded shift+select == take_along_axis gathers, including
+    invalid (inf / 0) entries in both maps."""
+    rng = np.random.default_rng(7)
+    h, w, dmax = 40, 90, 16
+    dl = rng.integers(0, dmax, (h, w)).astype(np.float32)
+    dr = rng.integers(0, dmax, (h, w)).astype(np.float32)
+    dr[rng.random((h, w)) < 0.1] = np.inf
+    dl_inf = dl.copy()
+    dl_inf[rng.random((h, w)) < 0.1] = np.inf
+    for fn, dleft, kw in [
+        # consistency handles already-invalid left entries by spec;
+        # lr_check_simple's contract is a finite (raw-WTA) left map
+        (post.lr_check_consistency, dl_inf, dict(gate=1.0)),
+        (post.lr_check_simple, dl, dict(gate=5.0)),
+        (post.lr_check_simple, dl, dict(gate=5.0, invalid_value=0.0)),
+    ]:
+        a = fn(jnp.asarray(dleft), jnp.asarray(dr), **kw)
+        b = fn(jnp.asarray(dleft), jnp.asarray(dr), disp_range=dmax, **kw)
+        np.testing.assert_array_equal(np.asarray(a.disp), np.asarray(b.disp))
+        np.testing.assert_array_equal(
+            np.asarray(a.occlusion), np.asarray(b.occlusion)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.mismatch), np.asarray(b.mismatch)
+        )
