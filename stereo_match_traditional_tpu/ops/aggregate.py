@@ -13,7 +13,7 @@ O(arm^2) per-pixel rectangle loops (`CrossArm.cpp:60-145`,
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -297,19 +297,64 @@ def rect_mean_aggregate(
 # ---------------------------------------------------------------------------
 
 
-def _hsum(x: jax.Array, left: jax.Array, right: jax.Array) -> jax.Array:
-    """sum_{t=-left..right} x[..., i, j+t] via a row prefix sum + 2 gathers
+def _banded_pick(cs, off, o_lo: int, o_hi: int, axis: int, out_len: int):
+    """``out[..., p, ...] = cs[..., p + off, ...]`` along ``axis``, where the
+    per-element offset ``off`` (int array broadcastable to the output shape)
+    is statically known to lie in ``[o_lo, o_hi]``.
+
+    Realized as an unrolled chain of static shifts + selects instead of a
+    per-element gather — the same trade as `post._banded_select_cols`.
+    Bit-identical picks.
+
+    MEASURED TRADE (v5e, do not re-litigate): on 2-D [H, W] maps the select
+    chain wins big (LR-check gathers 1.7 -> 0.4 ms); on [60, 375, 450]
+    volumes it LOSES to the contiguous-D-row gather (`_hsum` 2.25 -> 2.71 ms,
+    cross_two_pass e2e 31.9 -> 41.2 ms) — XLA does not fuse the ~70-step
+    chain over 40 MB of data, so every step pays an HBM round trip that the
+    60-element contiguous gather rows amortize.  Use banding for 2-D maps
+    only; keep gathers for volumes.
+    """
+    m = cs.shape[axis]
+    pad_lo = max(0, -o_lo)
+    pad_hi = max(0, out_len - 1 + o_hi - (m - 1))
+    pad = [(0, 0)] * cs.ndim
+    pad[axis] = (pad_lo, pad_hi)
+    csp = jnp.pad(cs, pad)
+
+    def sh(o):
+        sl = [slice(None)] * cs.ndim
+        sl[axis] = slice(o + pad_lo, o + pad_lo + out_len)
+        return csp[tuple(sl)]
+
+    out = sh(o_lo)
+    for o in range(o_lo + 1, o_hi + 1):
+        out = jnp.where(off == o, sh(o), out)
+    return out
+
+
+def _hsum(
+    x: jax.Array, left: jax.Array, right: jax.Array, max_arm: Optional[int] = None
+) -> jax.Array:
+    """sum_{t=-left..right} x[..., i, j+t] via a row prefix sum + 2 picks
     (`cross_aggregator.cpp:362-364`).
 
-    For [D, H, W] volumes the gather runs on a ``[(H*(W+1)), D]`` transposed
-    view of the prefix sums — contiguous D-rows per pick (arm spans don't
-    depend on d); see `_rect_sums_shared_bounds`.
+    ``max_arm``: static bound on the arm lengths (the growth rules cap at
+    `CrossArmConfig.max_length` / `CrossAggregatorParams.cross_l1`).  When
+    given, the prefix-sum picks are banded shift+select chains
+    (:func:`_banded_pick`); when None, for [D, H, W] volumes the gather runs
+    on a ``[(H*(W+1)), D]`` transposed view of the prefix sums — contiguous
+    D-rows per pick (arm spans don't depend on d); see
+    `_rect_sums_shared_bounds`.
     """
     w = x.shape[-1]
     cs = jnp.pad(jnp.cumsum(x, axis=-1), [(0, 0)] * (x.ndim - 1) + [(1, 0)])
     jj = jnp.arange(w)[None, :]
     hi = jnp.clip(jj + right + 1, 0, w)
     lo = jnp.clip(jj - left, 0, w)
+    if max_arm is not None:
+        hi_v = _banded_pick(cs, hi - jj, 1, max_arm + 1, -1, w)
+        lo_v = _banded_pick(cs, lo - jj, -max_arm, 0, -1, w)
+        return hi_v - lo_v
     if x.ndim == 2:
         return jnp.take_along_axis(cs, hi, -1) - jnp.take_along_axis(cs, lo, -1)
     d, h = x.shape[0], x.shape[1]
@@ -319,20 +364,45 @@ def _hsum(x: jax.Array, left: jax.Array, right: jax.Array) -> jax.Array:
     return jnp.moveaxis(out.reshape(h, w, d), -1, 0)
 
 
-def _vsum(x: jax.Array, up: jax.Array, down: jax.Array) -> jax.Array:
-    """sum_{t=-up..down} x[..., i+t, j] (`cross_aggregator.cpp:367-369`)."""
+def _vsum(
+    x: jax.Array, up: jax.Array, down: jax.Array, max_arm: Optional[int] = None
+) -> jax.Array:
+    """sum_{t=-up..down} x[..., i+t, j] (`cross_aggregator.cpp:367-369`).
+
+    The banded path picks along the row axis directly (no transposes);
+    the gather path transposes to reuse `_hsum`'s contiguous-D-row layout.
+    """
+    if max_arm is not None:
+        h = x.shape[-2]
+        cs = jnp.pad(
+            jnp.cumsum(x, axis=-2), [(0, 0)] * (x.ndim - 2) + [(1, 0), (0, 0)]
+        )
+        ii = jnp.arange(h)[:, None]
+        hi = jnp.clip(ii + down + 1, 0, h)
+        lo = jnp.clip(ii - up, 0, h)
+        hi_v = _banded_pick(cs, hi - ii, 1, max_arm + 1, -2, h)
+        lo_v = _banded_pick(cs, lo - ii, -max_arm, 0, -2, h)
+        return hi_v - lo_v
     xt = jnp.swapaxes(x, -1, -2)
     return jnp.swapaxes(_hsum(xt, up.T, down.T), -1, -2)
 
 
 def cross_aggregate(
-    vol: jax.Array, arms: Arms, num_iters: int = 4, horizontal_first: bool = True
+    vol: jax.Array,
+    arms: Arms,
+    num_iters: int = 4,
+    horizontal_first: bool = True,
+    max_arm: Optional[int] = None,
 ) -> jax.Array:
     """Iterative two-pass cross aggregation (`cross_aggregator.cpp:89-118,
     327-394`): each iteration sums along one axis inside each pixel's arm
     span, then along the other axis inside the arm span of the *first-pass*
     result, normalizes by the matching support-pixel count
     (`cross_aggregator.cpp:271-325`), and flips the pass order.
+
+    ``max_arm``: static arm-length cap (`CrossAggregatorParams.cross_l1`
+    for canonical arms) enabling the banded VPU picks — results are
+    bit-identical to the gather path (see :func:`_hsum`).
     """
     ones = jnp.ones(vol.shape[-2:], vol.dtype)
     sup_h_first = _vsum(_hsum(ones, arms.left, arms.right), arms.up, arms.down)
@@ -342,10 +412,14 @@ def cross_aggregate(
     hf = horizontal_first
     for _ in range(num_iters):
         if hf:
-            out = _vsum(_hsum(out, arms.left, arms.right), arms.up, arms.down)
+            out = _vsum(
+                _hsum(out, arms.left, arms.right, max_arm), arms.up, arms.down, max_arm
+            )
             out = out / sup_h_first
         else:
-            out = _hsum(_vsum(out, arms.up, arms.down), arms.left, arms.right)
+            out = _hsum(
+                _vsum(out, arms.up, arms.down, max_arm), arms.left, arms.right, max_arm
+            )
             out = out / sup_v_first
         hf = not hf
     return out

@@ -723,6 +723,7 @@ def iterative_region_voting(
     th: float = 0.4,
     num_iters: int = 5,
     invalid_value: float = INVALID,
+    max_arm: Optional[int] = None,
 ) -> jax.Array:
     """Canonical iterative region voting (`irv_ts`/`irv_th`,
     `adcensus_types.h:73`).
@@ -746,7 +747,9 @@ def iterative_region_voting(
         valid = d != invalid_value
         dint = jnp.where(valid, jnp.round(d), -1.0)
         onehot = (dint[None] == ds[:, None, None]).astype(jnp.float32)
-        votes = _vsum(_hsum(onehot, arms.left, arms.right), arms.up, arms.down)
+        votes = _vsum(
+            _hsum(onehot, arms.left, arms.right, max_arm), arms.up, arms.down, max_arm
+        )
         total = jnp.sum(votes, axis=0)
         best = jnp.argmax(votes, axis=0)
         bestv = jnp.take_along_axis(votes, best[None], axis=0)[0]

@@ -60,6 +60,25 @@ def test_cross_two_pass_matches_bruteforce():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_cross_aggregate_banded_matches_gather():
+    """max_arm banded shift+select picks == take/gather picks, bitwise,
+    including the 2-D support-count path and odd arm caps."""
+    rng = np.random.default_rng(11)
+    vol = rng.standard_normal((5, 23, 31)).astype(np.float32)
+    img = _img(seed=9, h=23, w=31, color=False)
+    p = CrossAggregatorParams(cross_l1=7, cross_l2=3, cross_t1=30, cross_t2=10)
+    arms = aggregate.canonical_cross_arms(img, p)
+    a = np.asarray(aggregate.cross_aggregate(vol, arms, num_iters=3))
+    b = np.asarray(aggregate.cross_aggregate(vol, arms, num_iters=3, max_arm=7))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(aggregate._hsum(vol, arms.left, arms.right))
+    d = np.asarray(aggregate._hsum(vol, arms.left, arms.right, max_arm=7))
+    np.testing.assert_array_equal(c, d)
+    e = np.asarray(aggregate._vsum(vol, arms.up, arms.down))
+    f = np.asarray(aggregate._vsum(vol, arms.up, arms.down, max_arm=7))
+    np.testing.assert_array_equal(e, f)
+
+
 def test_arm_bounds():
     """Arms never cross the image border (aggregation reads stay in-bounds)."""
     img = _img(seed=4)
