@@ -89,7 +89,19 @@ def main() -> None:
     # only measures the ~30 ms dispatch relay round trip here.
     from stereo_match_traditional_tpu.utils.benchmark import device_time
 
-    sec = device_time(lambda l, r: pipeline(l, r, cfg).disp_left, (left, right))
+    def checksum(res):
+        # Sum EVERY produced output map: returning only disp_left lets XLA
+        # dead-code-eliminate the right-view half (and any active post
+        # chain) inside the timing loop, silently inflating the number.
+        # Config defaults mirror each reference driver's active path, so
+        # the non-None StereoResult fields are exactly that workload.
+        total = jnp.float32(0.0)
+        for f in res:
+            if f is not None:
+                total = total + jnp.sum(f.astype(jnp.float32))
+        return total
+
+    sec = device_time(lambda l, r: checksum(pipeline(l, r, cfg)), (left, right))
     mpixdisp = args.rows * args.cols * args.disp / sec / 1e6
     baseline = _cpu_baseline() if args.pipeline == "ad_census" else None
     result = {
@@ -106,7 +118,7 @@ def main() -> None:
         mesh = make_mesh(n, ("tile",))
         sharded = jax.jit(tiled_pipeline(args.pipeline, cfg, mesh))
         sec_n = device_time(
-            lambda l, r: sharded(l, r).disp_left, (left, right)
+            lambda l, r: checksum(sharded(l, r)), (left, right)
         )
         result["devices"] = n
         result["sharded_value"] = round(

@@ -78,10 +78,18 @@ def cblsm_pipeline(
             agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
             agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
             for _ in range(cfg.agg_passes - 1):
-                agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-                agg_r = aggregate.rect_mean_aggregate(
-                    agg_r, arms_l if cfg.second_pass_left_arms else arms_r
-                )
+                if cfg.second_pass_left_arms:
+                    # the committed quirk (`CBLSM.cpp:150`) aggregates BOTH
+                    # volumes with the left arms — one stacked [2D, H, W]
+                    # pass halves the per-pixel gather picks (the rect
+                    # corner gathers fetch contiguous D-rows, so doubling
+                    # the row length is free; bit-identical per slice)
+                    both = jnp.concatenate([agg_l, agg_r], axis=0)
+                    both = aggregate.rect_mean_aggregate(both, arms_l)
+                    agg_l, agg_r = both[:d], both[d:]
+                else:
+                    agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
+                    agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
     elif cfg.aggregation == "rect_mean_v4":
         # dormant disparity-conditioned support (`CBLSM.cpp:108-111` +
         # `costAggregationV4`, `CBLSM.h:1128-1176`)

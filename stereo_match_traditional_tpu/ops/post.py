@@ -221,18 +221,18 @@ def remove_speckles(
 
 def _shift_fwd2(x, s, axis, fill):
     """out[j] = x[j - s] along ``axis`` (fill at the start)."""
-    pad = [(0, 0), (0, 0)]
+    pad = [(0, 0)] * x.ndim
     pad[axis] = (s, 0)
-    sl = [slice(None)] * 2
+    sl = [slice(None)] * x.ndim
     sl[axis] = slice(0, x.shape[axis])
     return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
 
 def _shift_bwd2(x, s, axis, fill):
     """out[j] = x[j + s] along ``axis`` (fill at the end)."""
-    pad = [(0, 0), (0, 0)]
+    pad = [(0, 0)] * x.ndim
     pad[axis] = (0, s)
-    sl = [slice(None)] * 2
+    sl = [slice(None)] * x.ndim
     sl[axis] = slice(s, s + x.shape[axis])
     return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
@@ -292,6 +292,15 @@ def _speckle_sweep_fn(d, valid, diff_insame, connectivity, big):
     associative_scan formulation re-derived the segment flags at every
     combine level of every sweep of every iteration; this rewrite
     measured 9.7 -> 1.8 ms on the Teddy flagship speckle stage, v5e.)
+
+    Negative result (v5e, do not retry): stacking the four direction views
+    (horizontal transposed, vertical, two sheared diagonals) into one
+    padded [4, 450, 824] array to cut the per-step op count 4x measured
+    *slower* (3.28 -> 4.11 ms on the Teddy flagship map) — the stack is 9x
+    the elements of the raw [H, W] map, and the parallel sweeps (each
+    direction reading the same input, min-merged after) also converge in
+    more fixpoint iterations than the chained form below, where direction
+    k sees direction k-1's propagation within the same sweep.
 
     Reused by the row-sharded variant (`parallel.post_shard`), where each
     tile builds its machinery from halo-extended connectivity.

@@ -166,10 +166,15 @@ def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
     agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
     agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
     for _ in range(cfg.agg_passes - 1):
-        agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-        agg_r = aggregate.rect_mean_aggregate(
-            agg_r, arms_l if cfg.second_pass_left_arms else arms_r
-        )
+        if cfg.second_pass_left_arms:
+            # stacked second pass, same as models/cblsm.py (shared left
+            # arms -> one [2D, T, W] rect pass, half the gather picks)
+            both = jnp.concatenate([agg_l, agg_r], axis=0)
+            both = aggregate.rect_mean_aggregate(both, arms_l)
+            agg_l, agg_r = both[:d], both[d:]
+        else:
+            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
+            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
     return {
         "disp_left": crop_row_halo(wta.wta(agg_l, "min"), halo, 0),
         "disp_right": crop_row_halo(wta.wta(agg_r, "min"), halo, 0),
