@@ -211,8 +211,22 @@ def _sat(x: jax.Array) -> jax.Array:
     vs the reference's direct per-window summation, bounded by the
     bad-pixel-rate parity budget (SURVEY.md §4); revisit with compensated
     sums if volumes grow to unnormalized SAD magnitudes at 4K sizes.
+
+    The cumsums run as triangular matmuls on the MXU (precision HIGHEST,
+    i.e. the f32-faithful bf16x6 path): ``jnp.cumsum``'s log-shift
+    lowering re-reads the [D, H, W] volume log2(n) times per axis
+    (measured 2.36 ms of the 4.6 ms Teddy rect pass), while one
+    [W, W] / [H, H] triangular contraction streams it once each.
+    Summation order differs from cumsum in the last-ulp rounding, inside
+    the stated SAT precision budget.
     """
-    c = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+    h, w = x.shape[-2], x.shape[-1]
+    up_w = jnp.triu(jnp.ones((w, w), x.dtype))          # [w', j]: j' <= j
+    up_h = jnp.triu(jnp.ones((h, h), x.dtype))
+    c = jnp.matmul(x, up_w, precision=jax.lax.Precision.HIGHEST)
+    c = jnp.einsum(
+        "hi,...hw->...iw", up_h, c, precision=jax.lax.Precision.HIGHEST
+    )
     c = jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)])
     return c
 
