@@ -71,15 +71,10 @@ def asw_pipeline(
             vol_l = volume.asw_lab_volume(
                 left, right, left_lab, right_lab, faithful_lut=cfg.lab_faithful_lut, **kw
             )
-            # mirror identity for the right view (flip images and Lab pair)
-            vol_r = volume.asw_lab_volume(
-                jnp.asarray(right)[:, ::-1],
-                jnp.asarray(left)[:, ::-1],
-                jnp.asarray(right_lab)[:, ::-1],
-                jnp.asarray(left_lab)[:, ::-1],
-                faithful_lut=cfg.lab_faithful_lut,
-                **kw,
-            )[:, :, ::-1]
+            # right view by the exact shift identity costR(q,d) = costL(q+d,d)
+            # (volume.right_volume_from_left; the per-(p,d) cost truncation at
+            # `ASW.h:171-173` commutes with the shift, so it holds here too)
+            vol_r = volume.right_volume_from_left(vol_l)
         with stage_scope("wta"):
             disp_l = wta.wta(vol_l, "min")
             disp_r = wta.wta(vol_r, "min")
@@ -100,10 +95,12 @@ def asw_pipeline(
             from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
 
             vol_l = asw_volume_pallas(left, right, view="left", **kw)
-            vol_r = asw_volume_pallas(left, right, view="right", **kw)
         else:
             vol_l = volume.asw_volume(left, right, **kw)
-            vol_r = volume.asw_volume_right(left, right, **kw)
+        # Right view (`ASW/ASW.h:382-431`) by the exact shift identity
+        # costR(q,d) = costL(q+d,d) — one gather instead of a second full
+        # cost-volume pass (see volume.right_volume_from_left).
+        vol_r = volume.right_volume_from_left(vol_l)
     with stage_scope("wta"):
         disp_l = wta.wta(vol_l, "min")
         disp_r = wta.wta(vol_r, "min")

@@ -73,6 +73,33 @@ def border_fill(vol: jax.Array, view: str = "left") -> jax.Array:
     return jnp.take_along_axis(vol, eff[:, None, :], axis=0)
 
 
+def right_volume_from_left(vol_left: jax.Array) -> jax.Array:
+    """Derive the right-view volume from the left volume by the exact shift
+    identity ``costR(q, d) = costL(q + d, d)``.
+
+    Every symmetric matching cost in the reference has the form
+    ``costL(p, d) = F(p, p - d)`` where ``F`` compares a window (or weighted
+    window) around left pixel ``p`` with one around right pixel ``p - d``
+    (`SAD/Sad.h:96-139`, `ASW/ASW.h:329-378`, `AD-Census.h:75-101`).  The
+    mirror-search right volume is ``costR(q, d) = F(q + d, q)``
+    (`SAD/Sad.h:141-182`, `ASW/ASW.h:382-431`, `AD-Census.h:103-129`) — the
+    *same summand* at ``p = q + d``, so the right volume is a shifted read
+    of the left one.  For the out-of-range triangle ``q + d > W - 1`` the
+    reference copies the previous-d cost (`ASW.h:418`), i.e. evaluates at
+    ``d_eff = min(d, W - 1 - q)``; that is exactly
+    :func:`border_fill(view="right")` applied to the shifted volume.
+
+    This replaces a second full cost-volume construction (for ASW, a second
+    78 ms Pallas kernel run) with one gather.
+    """
+    d, _, w = vol_left.shape
+    cols = jnp.arange(w)[None, :]
+    ds = jnp.arange(d)[:, None]
+    idx = jnp.minimum(cols + ds, w - 1)  # [D, W]
+    shifted = jnp.take_along_axis(vol_left, idx[:, None, :], axis=2)
+    return border_fill(shifted, "right")
+
+
 # ---------------------------------------------------------------------------
 # MXU box sums
 # ---------------------------------------------------------------------------

@@ -111,6 +111,34 @@ def test_asw_right_mirror_symmetry():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+def test_right_volume_from_left_identity():
+    """costR(q,d) = costL(q+d,d): the derived right volume matches the
+    independently computed one — bit-exact for AD/SAD (pure gather
+    arithmetic), fp-rounding-close for ASW (different accumulation order
+    than the flip-based recompute)."""
+    from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+    L, R, _ = make_pair(24, 36, 8, seed=7)
+    adl = volume.ad_volume(L, R, 9, view="left")
+    adr = volume.ad_volume(L, R, 9, view="right")
+    np.testing.assert_array_equal(
+        np.asarray(volume.right_volume_from_left(adl)), np.asarray(adr)
+    )
+    sl = volume.sad_volume(L, R, 9, 2, view="left")
+    sr = volume.sad_volume(L, R, 9, 2, view="right")
+    np.testing.assert_array_equal(
+        np.asarray(volume.right_volume_from_left(sl)), np.asarray(sr)
+    )
+    al = volume.asw_volume(L, R, 8, win_size=2)
+    ar = volume.asw_volume_right(L, R, 8, win_size=2)
+    np.testing.assert_allclose(
+        np.asarray(volume.right_volume_from_left(al)),
+        np.asarray(ar),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
 def test_box_sum_matches_naive():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((11, 13)).astype(np.float32)
