@@ -412,12 +412,51 @@ def _vsum(
     return jnp.swapaxes(_hsum(xt, up.T, down.T), -1, -2)
 
 
+# Dense 0/1 band tensors cost 4*H*W*(H+W) bytes; above this cap the gather
+# path wins on memory (e.g. 720p would need ~7 GB of bands).
+_MM_BAND_LIMIT_BYTES = 800 * 1024 * 1024
+
+
+def _hsum_mm(x_pm: jax.Array, band_h: jax.Array) -> jax.Array:
+    """Arm-span row sums as a batched MXU matmul: ``out[h,w,d] =
+    sum_q band_h[h,w,q] * x[h,q,d]`` with the 0/1 band built from the arms."""
+    return jnp.einsum(
+        "hwq,hqd->hwd", band_h, x_pm, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _vsum_mm(x_pm: jax.Array, band_v: jax.Array) -> jax.Array:
+    """Arm-span column sums: ``out[h,w,d] = sum_q band_v[h,w,q] * x[q,w,d]``."""
+    return jnp.einsum(
+        "hwq,qwd->hwd", band_v, x_pm, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _arm_bands(arms: Arms) -> Tuple[jax.Array, jax.Array]:
+    """0/1 band tensors for :func:`_hsum_mm` / :func:`_vsum_mm`:
+    ``band_h[h,w,q] = 1 iff w-left <= q <= w+right`` (q over columns) and
+    ``band_v[h,w,q] = 1 iff h-up <= q <= h+down`` (q over rows)."""
+    h, w = arms.left.shape
+    qc = jnp.arange(w)[None, None, :]
+    jj = jnp.arange(w)[None, :, None]
+    band_h = (
+        (qc >= jj - arms.left[:, :, None]) & (qc <= jj + arms.right[:, :, None])
+    ).astype(jnp.float32)
+    qr = jnp.arange(h)[None, None, :]
+    ii = jnp.arange(h)[:, None, None]
+    band_v = (
+        (qr >= ii - arms.up[:, :, None]) & (qr <= ii + arms.down[:, :, None])
+    ).astype(jnp.float32)
+    return band_h, band_v
+
+
 def cross_aggregate(
     vol: jax.Array,
     arms: Arms,
     num_iters: int = 4,
     horizontal_first: bool = True,
     max_arm: Optional[int] = None,
+    method: str = "auto",
 ) -> jax.Array:
     """Iterative two-pass cross aggregation (`cross_aggregator.cpp:89-118,
     327-394`): each iteration sums along one axis inside each pixel's arm
@@ -425,16 +464,60 @@ def cross_aggregate(
     result, normalizes by the matching support-pixel count
     (`cross_aggregator.cpp:271-325`), and flips the pass order.
 
+    ``method``:
+
+    * ``'matmul'`` — each arm-span sum is a batched MXU matmul against a
+      dense 0/1 band tensor built once from the arms, in a pixel-major
+      ``[H, W, D]`` layout.  The prefix-sum gather path pays ~3 full-volume
+      layout movements per pass (compiled HLO shows a transpose on every
+      gather result plus a ``[H*W, D]`` copy per pass, inserted by layout
+      assignment); the matmul path replaces picks + copies with dense MXU
+      work and *direct* span sums (no SAT cancellation).  Measured on v5e
+      (Teddy, D=60, 4 iters): 26.5 -> 16.2 ms, WTA tie flips 0.023%,
+      bad-2.0 unchanged.
+    * ``'gather'`` — row/column prefix sums + contiguous-D-row picks
+      (:func:`_hsum` / :func:`_vsum`).
+    * ``'auto'`` — matmul for ``[D, H, W]`` volumes while the band tensors
+      fit ``_MM_BAND_LIMIT_BYTES``; gather otherwise (at 720p the dense
+      bands would need ~7 GB).
+
     ``max_arm``: static arm-length cap (`CrossAggregatorParams.cross_l1`
-    for canonical arms) enabling the banded VPU picks — results are
-    bit-identical to the gather path (see :func:`_hsum`).
+    for canonical arms) enabling the banded VPU picks on the gather path —
+    bit-identical to plain gathers (see :func:`_hsum`).
     """
     ones = jnp.ones(vol.shape[-2:], vol.dtype)
     sup_h_first = _vsum(_hsum(ones, arms.left, arms.right), arms.up, arms.down)
     sup_v_first = _hsum(_vsum(ones, arms.up, arms.down), arms.left, arms.right)
 
-    out = vol
+    if method == "auto":
+        h, w = vol.shape[-2:]
+        use_mm = (
+            vol.ndim == 3
+            and max_arm is None
+            and 4 * h * w * (h + w) <= _MM_BAND_LIMIT_BYTES
+        )
+    elif method == "matmul":
+        use_mm = True
+    elif method == "gather":
+        use_mm = False
+    else:
+        raise ValueError(f"method must be 'auto', 'matmul' or 'gather': {method}")
+
     hf = horizontal_first
+    if use_mm:
+        band_h, band_v = _arm_bands(arms)
+        out = jnp.moveaxis(vol, 0, -1)  # [H, W, D]
+        sup_h = sup_h_first[..., None]
+        sup_v = sup_v_first[..., None]
+        for _ in range(num_iters):
+            if hf:
+                out = _vsum_mm(_hsum_mm(out, band_h), band_v) / sup_h
+            else:
+                out = _hsum_mm(_vsum_mm(out, band_v), band_h) / sup_v
+            hf = not hf
+        return jnp.moveaxis(out, -1, 0)
+
+    out = vol
     for _ in range(num_iters):
         if hf:
             out = _vsum(

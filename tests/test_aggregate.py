@@ -68,9 +68,13 @@ def test_cross_aggregate_banded_matches_gather():
     img = _img(seed=9, h=23, w=31, color=False)
     p = CrossAggregatorParams(cross_l1=7, cross_l2=3, cross_t1=30, cross_t2=10)
     arms = aggregate.canonical_cross_arms(img, p)
-    a = np.asarray(aggregate.cross_aggregate(vol, arms, num_iters=3))
+    a = np.asarray(aggregate.cross_aggregate(vol, arms, num_iters=3, method="gather"))
     b = np.asarray(aggregate.cross_aggregate(vol, arms, num_iters=3, max_arm=7))
     np.testing.assert_array_equal(a, b)
+    # the MXU banded-matmul path sums spans directly (no prefix-sum
+    # cancellation) — fp-rounding-close, not bitwise
+    m = np.asarray(aggregate.cross_aggregate(vol, arms, num_iters=3, method="matmul"))
+    np.testing.assert_allclose(m, a, rtol=1e-4, atol=1e-5)
     c = np.asarray(aggregate._hsum(vol, arms.left, arms.right))
     d = np.asarray(aggregate._hsum(vol, arms.left, arms.right, max_arm=7))
     np.testing.assert_array_equal(c, d)
