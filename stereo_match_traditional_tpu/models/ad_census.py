@@ -73,8 +73,8 @@ def ad_census_pipeline(
             arms_r = aggregate.cross_arms(right, cfg.arms)
             agg_l, agg_r = vol_l, vol_r
             for _ in range(cfg.agg_iters):
-                agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-                agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
+                agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l, max_span=cfg.arms.max_length)
+                agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r, max_span=cfg.arms.max_length)
     elif cfg.aggregation == "cross_two_pass":
         with stage_scope("aggregate"):
             img_l = left_color if left_color is not None else left

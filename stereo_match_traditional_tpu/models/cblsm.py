@@ -75,8 +75,8 @@ def cblsm_pipeline(
 
     if cfg.aggregation == "rect_mean":
         with stage_scope("aggregate"):
-            agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
-            agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
+            agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l, max_span=cfg.arms.max_length)
+            agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r, max_span=cfg.arms.max_length)
             for _ in range(cfg.agg_passes - 1):
                 if cfg.second_pass_left_arms:
                     # the committed quirk (`CBLSM.cpp:150`) aggregates BOTH
@@ -85,11 +85,11 @@ def cblsm_pipeline(
                     # corner gathers fetch contiguous D-rows, so doubling
                     # the row length is free; bit-identical per slice)
                     both = jnp.concatenate([agg_l, agg_r], axis=0)
-                    both = aggregate.rect_mean_aggregate(both, arms_l)
+                    both = aggregate.rect_mean_aggregate(both, arms_l, max_span=cfg.arms.max_length)
                     agg_l, agg_r = both[:d], both[d:]
                 else:
-                    agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-                    agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
+                    agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l, max_span=cfg.arms.max_length)
+                    agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r, max_span=cfg.arms.max_length)
     elif cfg.aggregation == "rect_mean_v4":
         # dormant disparity-conditioned support (`CBLSM.cpp:108-111` +
         # `costAggregationV4`, `CBLSM.h:1128-1176`)

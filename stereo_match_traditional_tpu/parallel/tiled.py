@@ -133,8 +133,8 @@ def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
         arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, rows)
         agg_l, agg_r = vol_l, vol_r
         for _ in range(cfg.agg_iters):
-            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
+            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l, max_span=cfg.arms.max_length)
+            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r, max_span=cfg.arms.max_length)
     elif cfg.aggregation == "cross_two_pass":
         arms_l = aggregate.canonical_cross_arms(le, cfg.cross_params, ro_ext, rows)
         arms_r = aggregate.canonical_cross_arms(re, cfg.cross_params, ro_ext, rows)
@@ -163,18 +163,18 @@ def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
     arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, rows)
     vol_l = volume.ad_volume(le, re, d, "left")
     vol_r = volume.ad_volume(le, re, d, "right")
-    agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
-    agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
+    agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l, max_span=cfg.arms.max_length)
+    agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r, max_span=cfg.arms.max_length)
     for _ in range(cfg.agg_passes - 1):
         if cfg.second_pass_left_arms:
             # stacked second pass, same as models/cblsm.py (shared left
             # arms -> one [2D, T, W] rect pass, half the gather picks)
             both = jnp.concatenate([agg_l, agg_r], axis=0)
-            both = aggregate.rect_mean_aggregate(both, arms_l)
+            both = aggregate.rect_mean_aggregate(both, arms_l, max_span=cfg.arms.max_length)
             agg_l, agg_r = both[:d], both[d:]
         else:
-            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l)
-            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r)
+            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l, max_span=cfg.arms.max_length)
+            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r, max_span=cfg.arms.max_length)
     return {
         "disp_left": crop_row_halo(wta.wta(agg_l, "min"), halo, 0),
         "disp_right": crop_row_halo(wta.wta(agg_r, "min"), halo, 0),
@@ -411,8 +411,8 @@ def ad_census_tile_disp(
             arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, h)
             arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, h)
             for _ in range(cfg.agg_iters):
-                vol_l = aggregate.rect_mean_aggregate(vol_l, arms_l)
-                vol_r = aggregate.rect_mean_aggregate(vol_r, arms_r)
+                vol_l = aggregate.rect_mean_aggregate(vol_l, arms_l, max_span=cfg.arms.max_length)
+                vol_r = aggregate.rect_mean_aggregate(vol_r, arms_r, max_span=cfg.arms.max_length)
             vol_l = crop_row_halo(vol_l, halo, 1)
             vol_r = crop_row_halo(vol_r, halo, 1)
             pad = ((d_off + jnp.arange(d_local)) >= cfg.disp_range)[:, None, None]
