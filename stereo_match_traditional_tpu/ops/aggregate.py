@@ -426,6 +426,23 @@ def _hsum(
     if x.ndim == 2:
         return jnp.take_along_axis(cs, hi, -1) - jnp.take_along_axis(cs, lo, -1)
     d, h = x.shape[0], x.shape[1]
+    if 4 * d * h * (w + 1) > _GATHER_FAST_SRC_BYTES:
+        # row-chunked gather source (spans are row-local, so the picks are
+        # exact; see _rect_sums_shared_bounds for the measured VMEM cliff).
+        # 720p/D=128: 36.6 -> 17 ms.  Note XLA may still retile the cumsum
+        # matmul when the consumer changes (last-ulp scheduling drift).
+        band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * (w + 1)))
+        outs = []
+        for r0 in range(0, h, band):
+            r1 = min(r0 + band, h)
+            flat = cs[:, r0:r1].reshape(d, (r1 - r0) * (w + 1)).T
+            ii = jnp.arange(r1 - r0)[:, None]
+            out = (
+                flat[(ii * (w + 1) + hi[r0:r1]).reshape(-1)]
+                - flat[(ii * (w + 1) + lo[r0:r1]).reshape(-1)]
+            )
+            outs.append(out.reshape(r1 - r0, w, d))
+        return jnp.moveaxis(jnp.concatenate(outs, axis=0), -1, 0)
     flat = cs.reshape(d, h * (w + 1)).T                    # [(H*(W+1)), D]
     ii = jnp.arange(h)[:, None]
     out = flat[(ii * (w + 1) + hi).reshape(-1)] - flat[(ii * (w + 1) + lo).reshape(-1)]
