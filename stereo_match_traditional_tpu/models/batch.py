@@ -6,11 +6,12 @@ any pipeline over a batch axis (one `vmap`, still a single XLA program, so
 the MXU/VPU see batched work) and overlaps host decode with device compute
 through the native threaded pair loader (`utils/native.PairLoader`).
 
-Measured guidance (v5e, Teddy workload): the flagship is HBM-bound at
-single-pair sizes already, and vmap makes its SAT gathers batched and
-slower (11.6 ms/pair at batch 8 vs 6.3 ms single) — prefer ``batch_size=1``
-streams for ad_census/cblsm; batching pays off for small images or the
-window pipelines whose per-pair device time is dominated by fixed overhead.
+Measured guidance (v5e, Teddy workload): `lax.map` batching (the default)
+holds single-pair throughput at any batch size (batch 8: 80.6 ms = 10.1
+ms/pair, 1,005 MPixDisp/s, equal to batch 1), while vmap batches the SAT
+gather operands past the ~110 MB on-chip fast-source cliff and runs 2.5x
+slower (batch 8: 25.1 ms/pair).  Use ``method='vmap'`` only for small
+images / window pipelines dominated by fixed per-op overhead.
 """
 
 from __future__ import annotations
@@ -25,9 +26,17 @@ from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.models.registry import get_pipeline
 
 
-def batched_pipeline(name: str, cfg=None):
+def batched_pipeline(name: str, cfg=None, method: str = "map"):
     """Jitted ``(left [B,H,W], right [B,H,W]) -> StereoResult`` with every
-    result field batched along axis 0."""
+    result field batched along axis 0.
+
+    ``method='map'`` (default) runs examples sequentially inside one XLA
+    program (`lax.map`): each example's SAT gathers keep their source
+    on-chip, which on v5e beats vmap by 2.4x at batch 8 on the flagship
+    (vmap batches the gather operand past the ~110 MB fast-source cliff —
+    see `aggregate._rect_sums_shared_bounds`).  ``method='vmap'`` fuses the
+    batch into every op — better only for small images / window pipelines
+    dominated by fixed per-op overhead."""
     fn, cfg_cls = get_pipeline(name)
     if cfg is None:
         cfg = cfg_cls()
@@ -35,7 +44,11 @@ def batched_pipeline(name: str, cfg=None):
     def one(l, r):
         return fn(l, r, cfg)
 
-    return jax.jit(jax.vmap(one))
+    if method == "vmap":
+        return jax.jit(jax.vmap(one))
+    if method == "map":
+        return jax.jit(lambda ls, rs: jax.lax.map(lambda lr: one(*lr), (ls, rs)))
+    raise ValueError(f"method must be 'map' or 'vmap': {method}")
 
 
 def serve_pairs(
