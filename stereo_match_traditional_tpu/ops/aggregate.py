@@ -203,6 +203,14 @@ def canonical_cross_arms(
 # ---------------------------------------------------------------------------
 
 
+# Above this length the dense [n, n] triangle's O(n^2) MACs dominate
+# (n=3841 is 23k flops/element at precision HIGHEST); switch to a two-level
+# block decomposition: dense triangles inside blocks + a cumsum of block
+# sums broadcast back.  At Teddy/720p widths the dense triangle stays.
+_CUMSUM_DENSE_MAX = 2048
+_CUMSUM_BLOCK = 512
+
+
 def _mxu_cumsum(x: jax.Array, axis: int) -> jax.Array:
     """Inclusive cumsum along ``axis`` (-1 or -2) as a triangular matmul.
 
@@ -211,16 +219,35 @@ def _mxu_cumsum(x: jax.Array, axis: int) -> jax.Array:
     one [n, n] upper-triangular contraction on the MXU streams it once
     (0.64 ms).  precision HIGHEST (the f32-faithful multi-pass path) —
     accumulation order differs from cumsum at the last ulp only.
+
+    Lengths above ``_CUMSUM_DENSE_MAX`` (4K widths) use the two-level
+    blocked form — O(block) instead of O(n) MACs per element.
     """
     n = x.shape[axis]
-    tri = jnp.triu(jnp.ones((n, n), x.dtype))           # [i', i]: i' <= i
-    if axis in (-1, x.ndim - 1):
-        return jnp.matmul(x, tri, precision=jax.lax.Precision.HIGHEST)
     if axis in (-2, x.ndim - 2):
+        # reduce to the -1 case on swapped axes only for the blocked path;
+        # dense stays as a single einsum (no transpose copies)
+        if n > _CUMSUM_DENSE_MAX:
+            return jnp.swapaxes(_mxu_cumsum(jnp.swapaxes(x, -1, -2), -1), -1, -2)
+        tri = jnp.triu(jnp.ones((n, n), x.dtype))
         return jnp.einsum(
             "hi,...hw->...iw", tri, x, precision=jax.lax.Precision.HIGHEST
         )
-    raise ValueError(f"axis must be -1 or -2, got {axis}")
+    if axis not in (-1, x.ndim - 1):
+        raise ValueError(f"axis must be -1 or -2, got {axis}")
+    if n <= _CUMSUM_DENSE_MAX:
+        tri = jnp.triu(jnp.ones((n, n), x.dtype))       # [i', i]: i' <= i
+        return jnp.matmul(x, tri, precision=jax.lax.Precision.HIGHEST)
+    b = _CUMSUM_BLOCK
+    nb = -(-n // b)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * b - n)])
+    xb = xp.reshape(x.shape[:-1] + (nb, b))
+    tri = jnp.triu(jnp.ones((b, b), x.dtype))
+    intra = jnp.matmul(xb, tri, precision=jax.lax.Precision.HIGHEST)
+    off = _mxu_cumsum(intra[..., -1], -1)               # inclusive block sums
+    off = jnp.pad(off, [(0, 0)] * (x.ndim - 1) + [(1, 0)])[..., :-1]
+    out = intra + off[..., None]
+    return out.reshape(x.shape[:-1] + (nb * b,))[..., :n]
 
 
 def _sat(x: jax.Array) -> jax.Array:
@@ -286,24 +313,50 @@ def _rect_sums_shared_bounds(
     h = out_shape[0]
 
     if max_span is not None and 4 * d * hp * wp > _GATHER_FAST_SRC_BYTES:
-        # rows per chunk so the haloed flat slice stays under the fast cap
-        band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * wp) - 2 * max_span - 1)
+        halo = 2 * max_span + 1
+        w_out = out_shape[1]
+        row_budget = _GATHER_FAST_SRC_BYTES // (4 * d * wp) - halo
+        col_budget = _GATHER_FAST_SRC_BYTES // (4 * d * hp) - halo
+        if row_budget >= 8 or row_budget >= col_budget:
+            # chunk output rows; source = haloed row window of the SAT
+            band = max(8, row_budget)
+            outs = []
+            for r0 in range(0, h, band):
+                r1 = min(r0 + band, h)
+                lo = max(0, r0 - max_span)
+                hi = min(hp, r1 + max_span + 1)
+                flat = sat[:, lo:hi].reshape(d, (hi - lo) * wp).T
+                sl = slice(r0, r1)
+                li0, li1 = i0[sl] - lo, i1[sl] + 1 - lo
+                lj0, lj1 = j0[sl], j1[sl] + 1
+
+                def g(ii, jj):
+                    return flat[(ii * wp + jj).reshape(-1)]
+
+                tot = g(li1, lj1) - g(li0, lj1) - g(li1, lj0) + g(li0, lj0)
+                outs.append(tot.reshape((r1 - r0,) + out_shape[1:] + (d,)))
+            return jnp.moveaxis(jnp.concatenate(outs, axis=0), -1, 0)
+        # wide-and-short shapes (streamed 4K bands: 347 rows x 3841 cols x
+        # D=256 — a single haloed row window is 276 MB): chunk output
+        # COLUMNS instead; the column halo (max arm) amplifies reads far
+        # less than re-reading halo rows per D-split (204 -> 36 ms/band)
+        cw = max(8, col_budget)
         outs = []
-        for r0 in range(0, h, band):
-            r1 = min(r0 + band, h)
-            lo = max(0, r0 - max_span)
-            hi = min(hp, r1 + max_span + 1)
-            flat = sat[:, lo:hi].reshape(d, (hi - lo) * wp).T
-            sl = slice(r0, r1)
-            li0, li1 = i0[sl] - lo, i1[sl] + 1 - lo
-            lj0, lj1 = j0[sl], j1[sl] + 1
+        for c0 in range(0, w_out, cw):
+            c1 = min(c0 + cw, w_out)
+            lo = max(0, c0 - max_span)
+            hi = min(wp, c1 + max_span + 1)
+            flat = sat[:, :, lo:hi].reshape(d, hp * (hi - lo)).T
+            sl = (slice(None), slice(c0, c1))
+            li0, li1 = i0[sl], i1[sl] + 1
+            lj0, lj1 = j0[sl] - lo, j1[sl] + 1 - lo
 
             def g(ii, jj):
-                return flat[(ii * wp + jj).reshape(-1)]
+                return flat[(ii * (hi - lo) + jj).reshape(-1)]
 
             tot = g(li1, lj1) - g(li0, lj1) - g(li1, lj0) + g(li0, lj0)
-            outs.append(tot.reshape((r1 - r0,) + out_shape[1:] + (d,)))
-        return jnp.moveaxis(jnp.concatenate(outs, axis=0), -1, 0)
+            outs.append(tot.reshape((out_shape[0], c1 - c0, d)))
+        return jnp.moveaxis(jnp.concatenate(outs, axis=1), -1, 0)
 
     flat = sat.reshape(d, hp * wp).T                       # [(Hp*Wp), D]
 

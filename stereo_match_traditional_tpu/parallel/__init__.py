@@ -13,6 +13,10 @@ from stereo_match_traditional_tpu.parallel.tiled import (  # noqa: F401
     run_tiled,
     tiled_pipeline,
 )
+from stereo_match_traditional_tpu.parallel.streamed import (  # noqa: F401
+    run_streamed,
+    streamed_pipeline,
+)
 from stereo_match_traditional_tpu.parallel.wta_shard import (  # noqa: F401
     optimal_disparity_sharded,
     wta_sharded,
