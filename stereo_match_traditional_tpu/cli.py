@@ -99,15 +99,38 @@ def cmd_run(args) -> int:
 
     left, right, gt = _load_pair(args)
 
+    executor = getattr(args, "executor", "direct")
+    if args.save_stages and executor != "direct":
+        raise SystemExit("--save-stages requires --executor direct")
+
     timer = StageTimer()
     stages = None
     with timer.stage("pipeline"):
-        if args.save_stages:
-            res, stages = pipeline(
-                jnp.asarray(left), jnp.asarray(right), cfg, return_stages=True
+        if executor == "direct":
+            if args.save_stages:
+                res, stages = pipeline(
+                    jnp.asarray(left), jnp.asarray(right), cfg, return_stages=True
+                )
+            else:
+                res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+        elif executor == "streamed":
+            from stereo_match_traditional_tpu.parallel import run_streamed
+
+            res = run_streamed(args.pipeline, left, right, cfg, row_tile=args.row_tile)
+        elif executor == "tiled":
+            from stereo_match_traditional_tpu.parallel import run_tiled
+
+            res = run_tiled(args.pipeline, left, right, cfg)
+        elif executor == "gspmd":
+            from stereo_match_traditional_tpu.parallel.gspmd import gspmd_pipeline
+            from stereo_match_traditional_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(axis_names=("tile",))
+            res = gspmd_pipeline(args.pipeline, cfg, mesh)(
+                jnp.asarray(left), jnp.asarray(right)
             )
         else:
-            res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+            raise SystemExit(f"unknown executor {executor!r}")
         disp = np.asarray(
             res.disp_final if res.disp_final is not None else res.disp_left
         )
@@ -199,6 +222,17 @@ def main(argv=None) -> int:
     run.add_argument("--disp-range", type=int, default=None)
     run.add_argument("--set", action="append", metavar="FIELD=VALUE")
     run.add_argument("--save-stages", metavar="DIR")
+    run.add_argument(
+        "--executor", choices=("direct", "tiled", "streamed", "gspmd"),
+        default="direct",
+        help="direct = single program; tiled = shard_map row tiles over all "
+        "devices; streamed = sequential row bands (memory-bounded, 4K-class "
+        "inputs); gspmd = sharded-input pjit (every config variant)",
+    )
+    run.add_argument(
+        "--row-tile", type=int, default=128,
+        help="rows per band for --executor streamed",
+    )
     run.set_defaults(func=cmd_run)
 
     bench = sub.add_parser("bench", help="run the throughput harness")
