@@ -8,14 +8,21 @@ Multi-device tests then exercise shard_map/halo/scan-carry code paths on the
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+# STEREO_TESTS_TPU=1 leaves the real backend in place so the tpu-marked
+# smoke tests (test_tpu_smoke.py) can run on hardware:
+#   STEREO_TESTS_TPU=1 python -m pytest tests/test_tpu_smoke.py -m tpu
+_ON_TPU = bool(os.environ.get("STEREO_TESTS_TPU"))
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -30,6 +30,35 @@ def test_cli_run_synthetic(tmp_path, capsys):
     assert (stages / "manifest.json").exists()
 
 
+def test_cli_run_streamed_executor(capsys):
+    from stereo_match_traditional_tpu import cli
+
+    rc = cli.main(
+        [
+            "run", "sad", "--synthetic", "40x48", "--disp-range", "8",
+            "--executor", "streamed", "--row-tile", "16",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shape"] == [40, 48]
+    assert summary["bad_2.0"] < 0.4
+
+
+def test_cli_save_stages_requires_direct():
+    import pytest
+
+    from stereo_match_traditional_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(
+            [
+                "run", "sad", "--synthetic", "32x40", "--executor", "streamed",
+                "--save-stages", "/tmp/should_not_exist",
+            ]
+        )
+
+
 def test_cli_set_overrides(capsys):
     from stereo_match_traditional_tpu import cli
 

@@ -26,6 +26,7 @@ def _mismatch(a, b, ignore_cols=0, side="left"):
         ("ad_census", cfgs.ADCensusConfig(disp_range=10), False),
         ("cblsm", cfgs.CBLSMConfig(disp_range=10), False),
         ("asw", cfgs.ASWConfig(disp_range=10, win_size=2, use_pallas=False), False),
+        ("ncc", cfgs.NCCConfig(disp_range=10, win_size=2), False),
     ],
 )
 def test_streamed_matches_untiled(name, cfg, exact):

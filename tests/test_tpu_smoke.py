@@ -1,0 +1,66 @@
+"""Real-hardware smoke tests (compiled TPU lowering, not the interpreter).
+
+The default suite runs every kernel on the CPU backend (conftest forces
+``JAX_PLATFORMS=cpu``); the Pallas ASW kernel in particular then runs in
+*interpreter* mode, which cannot catch Mosaic lowering bugs.  These tests
+run the five active pipelines compiled on the actual attached accelerator:
+
+    STEREO_TESTS_TPU=1 python -m pytest tests/test_tpu_smoke.py -m tpu -q
+
+They are skipped under the stock CPU-forced suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_match_traditional_tpu import config as cfgs
+from stereo_match_traditional_tpu.models import get_pipeline
+from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate, make_pair
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="needs the real accelerator (run with STEREO_TESTS_TPU=1)",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,cfg,max_bad2",
+    [
+        ("sad", cfgs.SADConfig(), 0.30),
+        ("ncc", cfgs.NCCConfig(disp_range=60), 0.30),
+        ("asw", cfgs.ASWConfig(), 0.15),            # compiled Pallas kernel
+        ("ad_census", cfgs.ADCensusConfig(), 0.15),
+        ("cblsm", cfgs.CBLSMConfig(), 0.20),
+    ],
+)
+def test_pipeline_on_hardware(name, cfg, max_bad2):
+    L, R, gt = make_pair(375, 450, 60, seed=0)
+    fn, _ = get_pipeline(name)
+    res = jax.jit(lambda l, r: fn(l, r, cfg))(jnp.asarray(L), jnp.asarray(R))
+    dl = np.asarray(res.disp_left)
+    assert np.isfinite(dl).all() or name == "ncc"  # ncc may carry sentinels
+    d_max = getattr(cfg, "disp_range", getattr(cfg, "max_disparity", 60))
+    finite = dl[np.isfinite(dl)]
+    assert finite.min() >= 0 and finite.max() <= d_max
+    bad2 = bad_pixel_rate(dl, gt)
+    assert bad2 <= max_bad2, (name, bad2)
+
+
+def test_asw_pallas_compiled_matches_jnp():
+    """The compiled Mosaic kernel == the jnp scan on hardware (the CPU
+    suite only checks the interpreter)."""
+    from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
+    from stereo_match_traditional_tpu.ops.volume import asw_volume
+
+    L, R, _ = make_pair(48, 140, 12, seed=1)
+    got = np.asarray(
+        asw_volume_pallas(jnp.asarray(L), jnp.asarray(R), 12, win_size=3,
+                          interpret=False)
+    )
+    want = np.asarray(asw_volume(L, R, 12, win_size=3))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
