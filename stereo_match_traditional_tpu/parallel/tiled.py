@@ -106,10 +106,11 @@ def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
         from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
 
         vol_l = asw_volume_pallas(le, re, view="left", **kw)
-        vol_r = asw_volume_pallas(le, re, view="right", **kw)
     else:
         vol_l = volume.asw_volume(le, re, **kw)
-        vol_r = volume.asw_volume_right(le, re, **kw)
+    # exact shift identity costR(q,d) = costL(q+d,d) (row-local, so valid
+    # per row-tile unchanged) — same as models/asw.py
+    vol_r = volume.right_volume_from_left(vol_l)
     disp_l = wta.wta(vol_l, "min")
     disp_r = wta.wta(vol_r, "min")
     return {

@@ -158,6 +158,7 @@ def test_discontinuity_adjustment_keeps_cheaper_self():
     np.testing.assert_array_equal(out, disp)
 
 
+@pytest.mark.slow
 def test_canonical_pipeline_end_to_end():
     """cross_two_pass + scanline + run_post exercises every canonical
     component; output must be finite-filled and deterministic."""

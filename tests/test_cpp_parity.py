@@ -100,7 +100,12 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("name,cfg,fields", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize(
+    "name,cfg,fields",
+    [pytest.param(*c, marks=pytest.mark.slow) if c[0] in ("ad_census", "asw")
+     else c for c in CASES],
+    ids=[c[0] for c in CASES],
+)
 def test_framework_matches_cpp(binary, pair_files, name, cfg, fields):
     L, R, gt, lp, rp, outdir = pair_files
     cpp = _run_cpp(binary, name, lp, rp, outdir)

@@ -41,7 +41,11 @@ def test_stage_scopes_visible_in_hlo(name):
     assert "stereo/wta" in text, name
 
 
-@pytest.mark.parametrize("name", sorted(_CFGS))
+@pytest.mark.parametrize(
+    "name",
+    [n if n == "ncc" else pytest.param(n, marks=pytest.mark.slow)
+     for n in sorted(_CFGS)],
+)
 def test_return_stages_and_reentry(name):
     """return_stages=True yields the stage volumes, and re-entering at the
     WTA stage from them reproduces the maps bit-for-bit."""
@@ -77,6 +81,7 @@ def test_stage_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(res.disp_left), np.asarray(re.disp_left))
 
 
+@pytest.mark.slow
 def test_cli_save_stages_includes_volumes(tmp_path):
     """`stereo run --save-stages` must persist the aggregated volume
     (the VERDICT 'done' criterion for item 7)."""

@@ -165,6 +165,7 @@ def test_remove_speckles_connectivity4():
     assert np.isfinite(got8).sum() == 8  # one 8-connected component of 8 >= 6
 
 
+@pytest.mark.slow
 def test_remove_speckles_max_iters_bounds_loop():
     d = np.where(np.eye(64) > 0, 1.0, np.inf).astype(np.float32)
     out = np.asarray(

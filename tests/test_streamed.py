@@ -23,9 +23,11 @@ def _mismatch(a, b, ignore_cols=0, side="left"):
     "name,cfg,exact",
     [
         ("sad", cfgs.SADConfig(max_disparity=10, winsize=1), True),
-        ("ad_census", cfgs.ADCensusConfig(disp_range=10), False),
+        pytest.param("ad_census", cfgs.ADCensusConfig(disp_range=10), False,
+                     marks=pytest.mark.slow),
         ("cblsm", cfgs.CBLSMConfig(disp_range=10), False),
-        ("asw", cfgs.ASWConfig(disp_range=10, win_size=2, use_pallas=False), False),
+        pytest.param("asw", cfgs.ASWConfig(disp_range=10, win_size=2,
+                     use_pallas=False), False, marks=pytest.mark.slow),
         ("ncc", cfgs.NCCConfig(disp_range=10, win_size=2), False),
     ],
 )
