@@ -224,7 +224,8 @@ def _mxu_cumsum(x: jax.Array, axis: int) -> jax.Array:
     blocked form — O(block) instead of O(n) MACs per element.
     """
     n = x.shape[axis]
-    if axis in (-2, x.ndim - 2):
+    ax = axis if axis >= 0 else axis + x.ndim
+    if x.ndim >= 2 and ax == x.ndim - 2:
         # reduce to the -1 case on swapped axes only for the blocked path;
         # dense stays as a single einsum (no transpose copies)
         if n > _CUMSUM_DENSE_MAX:
@@ -233,7 +234,7 @@ def _mxu_cumsum(x: jax.Array, axis: int) -> jax.Array:
         return jnp.einsum(
             "hi,...hw->...iw", tri, x, precision=jax.lax.Precision.HIGHEST
         )
-    if axis not in (-1, x.ndim - 1):
+    if ax != x.ndim - 1:
         raise ValueError(f"axis must be -1 or -2, got {axis}")
     if n <= _CUMSUM_DENSE_MAX:
         tri = jnp.triu(jnp.ones((n, n), x.dtype))       # [i', i]: i' <= i

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 INVALID = jnp.inf
 
+# Same on-chip fast-source cliff as aggregate._GATHER_FAST_SRC_BYTES, with
+# headroom: above this the border_fill axis-0 gather leaves the fast regime
+# and the diagonal-pick + select path wins.
+_BORDER_FILL_GATHER_MAX_BYTES = 200 * 1024 * 1024
+
 
 # ---------------------------------------------------------------------------
 # shifted stacks & border fill
@@ -65,15 +70,19 @@ def border_fill(vol: jax.Array, view: str = "left") -> jax.Array:
     `AD-Census.h:88-92`): ``out[d, i, j] = vol[min(d, j), i, j]`` for the
     left view and ``min(d, W-1-j)`` for the right view.
 
-    Only the ``D-1`` edge columns can differ from the input, so the
-    (scalar-core-bound) axis-0 gather runs on that strip alone — at 4K
-    band shapes this is the difference between 22 ms and under 2 ms.
+    Two regimes: small volumes use a plain axis-0 gather, which XLA fuses
+    into the consumer (effectively free); big volumes (above
+    ``_BORDER_FILL_GATHER_MAX_BYTES``, where the gather is scalar-core
+    bound — 22 ms at a [256, 346, 3840] 4K band) use the fact that only
+    the ``D-1`` edge columns can differ from the input, and the filled
+    value there is always the diagonal ``vol[limit, i, j]``: one tiny
+    [k, H] diagonal pick plus a single elementwise select.
     """
     d, h, w = vol.shape
     k = min(d - 1, w)
     if k <= 0:
         return vol
-    if 4 * d * h * w <= 200 * 1024 * 1024:
+    if 4 * d * h * w <= _BORDER_FILL_GATHER_MAX_BYTES:
         # small volumes: the axis-0 gather fuses into its consumer and is
         # effectively free; the select path below would materialize a copy
         cols = jnp.arange(w)[None, :]

@@ -11,7 +11,7 @@ import os
 # STEREO_TESTS_TPU=1 leaves the real backend in place so the tpu-marked
 # smoke tests (test_tpu_smoke.py) can run on hardware:
 #   STEREO_TESTS_TPU=1 python -m pytest tests/test_tpu_smoke.py -m tpu
-_ON_TPU = bool(os.environ.get("STEREO_TESTS_TPU"))
+_ON_TPU = os.environ.get("STEREO_TESTS_TPU", "").lower() not in ("", "0", "false", "no")
 
 if not _ON_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -139,6 +139,51 @@ def test_right_volume_from_left_identity():
     )
 
 
+def test_right_volume_from_left_identity_lab():
+    """The shift identity also holds for the Lab-weight ASW variant (the
+    cost-level truncation commutes with the shift); oracle = the flip-based
+    mirror computation that models/asw.py used before the identity."""
+    from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+    L, R, _ = make_pair(16, 24, 5, seed=9)
+    rng = np.random.default_rng(4)
+    lab_l = rng.integers(0, 255, (16, 24, 3)).astype(np.uint8)
+    lab_r = rng.integers(0, 255, (16, 24, 3)).astype(np.uint8)
+    kw = dict(disp_range=5, win_size=1, space_sigma=50, color_sigma=30, truncation=40)
+    vol_l = volume.asw_lab_volume(L, R, lab_l, lab_r, **kw)
+    want = np.asarray(
+        volume.asw_lab_volume(
+            R[:, ::-1], L[:, ::-1], lab_r[:, ::-1], lab_l[:, ::-1], **kw
+        )
+    )[:, :, ::-1]
+    got = np.asarray(volume.right_volume_from_left(vol_l))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_cumsum_1d_and_blocked():
+    """_mxu_cumsum handles 1-D inputs and the blocked large-n path."""
+    import jax.numpy as jnp
+
+    from stereo_match_traditional_tpu.ops import aggregate
+
+    x = np.arange(40, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(aggregate._mxu_cumsum(jnp.asarray(x), -1)), np.cumsum(x),
+        rtol=1e-6,
+    )
+    rng = np.random.default_rng(0)
+    big = rng.standard_normal((3, aggregate._CUMSUM_DENSE_MAX + 77)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(aggregate._mxu_cumsum(jnp.asarray(big), -1)),
+        np.cumsum(big, axis=-1), rtol=1e-4, atol=1e-3,
+    )
+    bigr = rng.standard_normal((aggregate._CUMSUM_DENSE_MAX + 33, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(aggregate._mxu_cumsum(jnp.asarray(bigr), -2)),
+        np.cumsum(bigr, axis=-2), rtol=1e-4, atol=1e-3,
+    )
+
+
 def test_box_sum_matches_naive():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((11, 13)).astype(np.float32)
