@@ -7,19 +7,45 @@ first speed-of-light target (SURVEY.md §7 step 3).
 Why a kernel: the jnp reference (`ops.volume.asw_volume`) scans over the
 (2R+1)^2 window offsets carrying [D, H, W] accumulators — XLA keeps that
 80 MB carry in HBM, so 625 steps move ~100 GB.  Here each grid tile DMAs
-its left-image window and per-disparity shifted right stack into VMEM once
-and accumulates entirely on-chip; HBM traffic collapses to ~2x the volume
-size.
+its left and right image windows into VMEM once and accumulates entirely
+on-chip; HBM traffic collapses to ~2x the volume size.
+
+The shear identity (round-2 rework):
+every right-view operand is a horizontal shift of the *one* right image,
+
+    S[d, y, x + dx] = R[y, x + dx - d],
+
+so across the (dx, d) inner loops only ``k = dx - d`` matters: there are
+just ``2r + D`` distinct shifted rows, not ``(2r+1) * D``.  The kernel
+therefore
+
+* DMAs a single [sh, TW + 2r + D - 1] right band per tile (the previous
+  design copied a D-deep pre-shifted HBM stack — 60x the DMA bytes and
+  1.97 MB of VMEM at the defaults);
+* materializes, once per vertical offset dy, a shift table
+  ``shift_scr[m] = band[:, K-1-m : K-1-m+TW]`` (K = 2r + D unaligned lane
+  slices — the ONLY lane-shift work left);
+* stores it in *reversed* k order so the per-dx read of all D disparities
+  is one contiguous axis-0 view ``shift_scr[2r-dx : 2r-dx+D]`` — a free
+  VMEM slice, no per-(dx, d) rotation at all.
+
+Measured on v5e (Teddy 450x375, D=60, left volume): 76.4 ms vs 78-81 ms
+for the stack-based kernel — the kernel is VPU-throughput-bound on its
+~10 essential vector ops per (pixel, offset, d), so removing the
+per-(dx, d) lane rotations and 60x the DMA bytes mostly buys *memory*
+headroom, not time.  The relevant ablation bounds: with a dx-invariant
+right operand (wrong results, timing only) the same loop runs in 9.2 ms,
+i.e. delivering 1,500 *distinct* D-rank operand streams per row-step
+costs ~67 ms whether they arrive by lane rotation (old), shift-table
+loads (this kernel), or register-blocked stacks (a d-blocked variant
+with value-carried accumulators measured 154-339 ms — fori carry
+overhead).  Absent a lower-op-count algebra, this is the plateau.
 
 Mosaic constraints shape the design: dynamic offsets along the 128-lane
-axis must be provably 128-aligned, so
-
-* the per-d horizontal shifts are materialized *outside* the kernel as a
-  `shifted_stack` in HBM and brought in with per-tile async copies (DMAs
-  take arbitrary offsets);
-* the window's horizontal offsets are a statically unrolled loop (static
-  lane rotations), while the vertical offsets stay a `fori_loop` (dynamic
-  sublane offsets are fine).
+axis must be provably 128-aligned, so the window's horizontal offsets and
+the shift-table build are statically unrolled loops (static lane slices),
+while the vertical offsets stay a `fori_loop` advanced by `pltpu.roll`
+(static shift) — dynamic *sublane* offsets never occur.
 
 Weight algebra (exactly the reference's product, fused into one
 transcendental per (pixel, offset, d)):
@@ -31,25 +57,12 @@ transcendental per (pixel, offset, d)):
 right masks — `ASW/ASW.h:222-248` — hence the squared space term.)
 
 Why the fused form and not the reference's factored wL(p,o)*wR(p-d,o)
-(`ASW.h:222-248`), which needs D-fold fewer exps?  Both measured dead
-ends on v5e (Teddy 450x375, D=60, left volume):
-
-* exp ablation: deleting the exp from this kernel entirely leaves the
-  runtime unchanged (78.7 vs 78.0 ms) — the transcendental pipelines for
-  free behind the surrounding vector ops, so reducing exp *count* cannot
-  help; the kernel is bound by its ~9 essential VPU ops per
-  (pixel, offset, d).
-* factored rewrite (measured, then reverted — see git history): computing
-  aL/aR once per (pixel, offset) at pixel rank and realizing
-  w = aL * aR(p-d) via per-d static lane slices of the unshifted right
-  tile removes ~5 D-rank arithmetic ops but adds 2 unaligned 128-wide
-  lane-slice extractions per (offset, d) to build the shifted stacks
-  in-register.  Mosaic lowers each unaligned lane slice to ~2-3
-  rotate/select vreg ops, which costs more than the arithmetic it saves:
-  113.4 ms vs 78.0 ms fused (bit-accurate to 4e-6 relative).  The HBM
-  shifted stack below is precisely what makes the per-d shifts free (the
-  DMA engine does them), at the price of recomputing dR at D-rank — the
-  cheaper side of the trade on this hardware.
+(`ASW.h:222-248`), which needs D-fold fewer exps?  exp ablation on v5e:
+deleting the exp entirely leaves the runtime unchanged — the
+transcendental pipelines for free behind the surrounding vector ops, so
+reducing exp *count* cannot help.  (Historical dead ends — the factored
+in-register rewrite at 113 ms, per-d vreg accumulation at 603 ms, d-chunked
+carries at 1.4-2.6x — are recorded in git history and BASELINE.md.)
 """
 
 from __future__ import annotations
@@ -61,7 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stereo_match_traditional_tpu.ops.volume import border_fill, shifted_stack
+from stereo_match_traditional_tpu.ops.volume import border_fill
 
 _TH = 8     # sublane tile rows
 _TW = 128   # lane tile cols
@@ -71,62 +84,75 @@ def _scr_h(radius: int) -> int:
     return -(-(_TH + 2 * radius) // 8) * 8       # sublane-aligned scratch rows
 
 
-def _scr_w(radius: int) -> int:
-    return -(-(_TW + 2 * radius) // 128) * 128   # lane-aligned scratch cols
+def _scr_w(width: int) -> int:
+    return -(-width // 128) * 128                # lane-aligned scratch cols
 
 
 def _asw_kernel(
-    l_hbm, s_hbm, out_ref, l_scr, rs_scr, num_ref, den_ref, sem,
+    l_hbm, r_hbm, out_ref, l_scr, r_scr, shift_scr, num_ref, den_ref, sem,
     *, radius: int, disp_range: int, inv2sc: float, inv_ss: float, trunc: float,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     r = radius
     side = 2 * r + 1
-    sh, sw = _scr_h(r), _scr_w(r)
+    d_range = disp_range
+    n_k = 2 * r + d_range                        # distinct shifts k = dx - d
+    sh = _scr_h(r)
+    sw_l = _scr_w(_TW + 2 * r)
+    sw_r = _scr_w(_TW + 2 * r + d_range - 1)
 
-    # copy slice shapes must be (8, 128)-tile aligned; the scratch is padded
-    # accordingly and only its leading (TH+2r, TW+2r) window is ever read.
+    # copy slice shapes must be (8, 128)-tile aligned; the scratches are
+    # padded accordingly and only their leading windows are ever read.
     cp_l = pltpu.make_async_copy(
-        l_hbm.at[pl.ds(i * _TH, sh), pl.ds(j * _TW, sw)], l_scr, sem.at[0]
+        l_hbm.at[pl.ds(i * _TH, sh), pl.ds(j * _TW, sw_l)], l_scr, sem.at[0]
     )
-    cp_s = pltpu.make_async_copy(
-        s_hbm.at[:, pl.ds(i * _TH, sh), pl.ds(j * _TW, sw)], rs_scr, sem.at[1]
+    cp_r = pltpu.make_async_copy(
+        r_hbm.at[pl.ds(i * _TH, sh), pl.ds(j * _TW, sw_r)], r_scr, sem.at[1]
     )
     cp_l.start()
-    cp_s.start()
+    cp_r.start()
     cp_l.wait()
-    cp_s.wait()
+    cp_r.wait()
 
     l_c = l_scr[r : r + _TH, r : r + _TW]                   # [TH, TW]
-    rs_c = rs_scr[:, r : r + _TH, r : r + _TW]              # [D, TH, TW]
 
-    # Mosaic requires dynamic slice offsets to be tile-aligned in both minor
-    # dims.  Vertical window offsets advance by *rolling* the VMEM-resident
-    # tiles one row per fori iteration (static shift); horizontal offsets
-    # are a statically unrolled loop of static lane slices (compiled to lane
-    # rotations).  Structure variants measured on v5e: per-offset lane-roll
-    # carries 96 ms, ref-accumulate-per-offset 78 ms, chunked flushes 78 ms,
-    # TH=16 78 ms — the plateau is the rotate+exp floor, 3.4x the XLA scan.
-    num_ref[:] = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
-    den_ref[:] = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
+    # Right-view window centers R[y_c, x + r - d]: in the band's coordinates
+    # (left halo D-1+r) that is shift k = r - d + (D-1).  Loop-invariant —
+    # built once per tile as a stacked value, exactly the old rs_c.
+    r_center = r_scr[r : r + _TH, :]                        # [TH, SWR]
+    rs_c = jnp.stack(
+        [
+            r_center[:, r + d_range - 1 - d : r + d_range - 1 - d + _TW]
+            for d in range(d_range)
+        ]
+    )                                                       # [D, TH, TW]
+
+    num_ref[:] = jnp.zeros((d_range, _TH, _TW), jnp.float32)
+    den_ref[:] = jnp.zeros((d_range, _TH, _TW), jnp.float32)
 
     def dy_body(dy, carry):
-        l_cur, rs_cur = carry
+        l_cur, r_cur = carry
         vspace = ((dy - r) * (dy - r)).astype(jnp.float32)
-        l_top = l_cur[0:_TH, :]                             # [TH, SW]
-        rs_top = rs_cur[:, 0:_TH, :]                        # [D, TH, SW]
+        l_top = l_cur[0:_TH, :]                             # [TH, SWL]
+        r_top = r_cur[0:_TH, :]                             # [TH, SWR]
+        # Shift table in reversed k order: shift_scr[m] holds the band
+        # shifted by k = n_k - 1 - m, so the d axis for a given dx is the
+        # contiguous view shift_scr[2r - dx : 2r - dx + D] (d ascending).
+        for m in range(n_k):
+            off = n_k - 1 - m
+            shift_scr[m] = r_top[:, off : off + _TW]
         # chunked value accumulation: Mosaic keeps every unrolled
         # iteration's temporaries live on the scoped-VMEM stack (a full
         # 25-wide value chain OOMs at ~28 MB); 6-wide chunks flushed to
         # scratch refs stay under the 16 MB budget.
         chunk = 6
         for c0 in range(0, side, chunk):
-            num = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
-            den = jnp.zeros((disp_range, _TH, _TW), jnp.float32)
+            num = jnp.zeros((d_range, _TH, _TW), jnp.float32)
+            den = jnp.zeros((d_range, _TH, _TW), jnp.float32)
             for dx in range(c0, min(c0 + chunk, side)):
                 l_o = l_top[:, dx : dx + _TW]
-                r_o = rs_top[:, :, dx : dx + _TW]
+                r_o = shift_scr[2 * r - dx : 2 * r - dx + d_range]  # [D,TH,TW]
                 dl = l_o - l_c                              # [TH, TW]
                 dr = r_o - rs_c                             # [D, TH, TW]
                 space = vspace + float((dx - r) * (dx - r))
@@ -139,9 +165,9 @@ def _asw_kernel(
             num_ref[:] += num
             den_ref[:] += den
         # up-by-one row advance (roll shift must be non-negative)
-        return pltpu.roll(l_cur, sh - 1, 0), pltpu.roll(rs_cur, sh - 1, 1)
+        return pltpu.roll(l_cur, sh - 1, 0), pltpu.roll(r_cur, sh - 1, 0)
 
-    jax.lax.fori_loop(0, side, dy_body, (l_scr[:], rs_scr[:]))
+    jax.lax.fori_loop(0, side, dy_body, (l_scr[:], r_scr[:]))
     out_ref[:] = num_ref[:] / jnp.maximum(den_ref[:], 1e-20)
 
 
@@ -166,20 +192,24 @@ def _asw_pallas_left(
     h, w = left.shape
     hp = -(-h // _TH) * _TH
     wp = -(-w // _TW) * _TW
-    sh, sw = _scr_h(radius), _scr_w(radius)
-    # padded input extents so the last tile's aligned (sh, sw) copy slice
-    # stays in bounds: rows hp - TH + sh, cols wp - TW + sw
+    sh = _scr_h(radius)
+    sw_l = _scr_w(_TW + 2 * radius)
+    sw_r = _scr_w(_TW + 2 * radius + disp_range - 1)
+    # padded input extents so the last tile's aligned copy slices stay in
+    # bounds: rows hp - TH + sh; cols wp - TW + sw_l / sw_r
     bot = (hp - _TH + sh) - h - radius
-    rgt = (wp - _TW + sw) - w - radius
+    rgt_l = (wp - _TW + sw_l) - w - radius
+    # The right band carries a D-1 column left halo (output col x at
+    # disparity d reads R columns down to x - d + window), edge-clamped like
+    # `shifted_stack`'s clip-at-0; the d > x border triangle those clamped
+    # values can influence is overwritten by border_fill below.
+    lft_r = radius + disp_range - 1
+    rgt_r = (wp - _TW + sw_r) - w - lft_r
 
     lf = left.astype(jnp.float32)
     rf = right.astype(jnp.float32)
-    lp = jnp.pad(lf, ((radius, bot), (radius, rgt)), "edge")
-    rp = jnp.pad(rf, ((radius, bot), (radius, rgt)), "edge")
-    # HBM shifted stack: S[d] = rp shifted by d with left-edge clamping —
-    # identical semantics to `ops.volume.shifted_stack` (clip at padded col
-    # 0); the d > j border triangle is overwritten by border_fill below.
-    s = shifted_stack(rp, disp_range, "left")
+    lp = jnp.pad(lf, ((radius, bot), (radius, rgt_l)), "edge")
+    rp = jnp.pad(rf, ((radius, bot), (lft_r, rgt_r)), "edge")
 
     grid = (hp // _TH, wp // _TW)
     kernel = functools.partial(
@@ -190,26 +220,28 @@ def _asw_pallas_left(
         inv_ss=1.0 / (space_sigma * space_sigma),
         trunc=float(truncation),
     )
+    n_k = 2 * radius + disp_range
     vol = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # lp stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),      # shifted stack in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # rp stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (disp_range, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((disp_range, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((sh, sw), jnp.float32),
-            pltpu.VMEM((disp_range, sh, sw), jnp.float32),
+            pltpu.VMEM((sh, sw_l), jnp.float32),
+            pltpu.VMEM((sh, sw_r), jnp.float32),
+            pltpu.VMEM((n_k, _TH, _TW), jnp.float32),
             pltpu.VMEM((disp_range, _TH, _TW), jnp.float32),
             pltpu.VMEM((disp_range, _TH, _TW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(lp, s)
+    )(lp, rp)
     return border_fill(vol[:, :h, :w], "left")
 
 
