@@ -31,20 +31,25 @@ def device_time(
     """Median seconds per invocation of ``fn(*args)`` on device.
 
     ``fn`` must return an array (any shape); its sum feeds the checksum.
-    The first argument is perturbed by the induction variable each
-    iteration to keep the loop honest against caching at every layer.
+    EVERY array argument is perturbed by the induction variable each
+    iteration: anything that depends on an un-bumped operand is
+    loop-invariant and XLA hoists it out of the timing loop entirely (a
+    both-views pipeline whose right-image work was measured at zero this
+    way — only arg[0] used to be bumped).
     """
 
     def looped(n_static):
         @jax.jit
         def run(*a):
-            first = a[0]
-
             def body(i, acc):
-                bumped = (first.astype(jnp.float32) + (i % 3).astype(jnp.float32)).astype(
-                    first.dtype
-                )
-                out = fn(bumped, *a[1:])
+                bump = (i % 3).astype(jnp.float32)
+                bumped = [
+                    (x.astype(jnp.float32) + bump).astype(x.dtype)
+                    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.number)
+                    else x
+                    for x in a
+                ]
+                out = fn(*bumped)
                 return acc + jnp.sum(out.astype(jnp.float32))
 
             return jax.lax.fori_loop(0, n_static, body, jnp.float32(0.0))
