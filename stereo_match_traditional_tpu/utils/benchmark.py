@@ -31,24 +31,44 @@ def device_time(
     """Median seconds per invocation of ``fn(*args)`` on device.
 
     ``fn`` must return an array (any shape); its sum feeds the checksum.
-    EVERY array argument is perturbed by the induction variable each
-    iteration: anything that depends on an un-bumped operand is
-    loop-invariant and XLA hoists it out of the timing loop entirely (a
-    both-views pipeline whose right-image work was measured at zero this
-    way — only arg[0] used to be bumped).
+    EVERY array leaf of every argument (through pytrees) is perturbed by
+    the induction variable each iteration: anything that depends on an
+    un-bumped operand is loop-invariant and XLA hoists it out of the
+    timing loop entirely (a both-views pipeline whose right-image work
+    entered through a later argument measured 92x too fast this way).
+    Numeric arrays get ``+ (i % 3)``, bool arrays ``XOR (i % 2)``; Python
+    scalars and 0-d inputs stay stable (they are configuration, and
+    perturbing them would change the measured workload).
     """
+
+    def _bumpable(x) -> bool:
+        return (
+            hasattr(x, "dtype")
+            and getattr(x, "ndim", 0) >= 1
+            and (
+                jnp.issubdtype(x.dtype, jnp.number)
+                or jnp.issubdtype(x.dtype, jnp.bool_)
+            )
+        )
+
+    # decide from the *original* args (inside jit every scalar is a tracer,
+    # indistinguishable from a real array input)
+    bump_mask = jax.tree_util.tree_map(_bumpable, tuple(args))
 
     def looped(n_static):
         @jax.jit
-        def run(*a):
+        def run(a):
             def body(i, acc):
-                bump = (i % 3).astype(jnp.float32)
-                bumped = [
-                    (x.astype(jnp.float32) + bump).astype(x.dtype)
-                    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.number)
-                    else x
-                    for x in a
-                ]
+                def bump_leaf(x, do_bump):
+                    if not do_bump:
+                        return x
+                    if jnp.issubdtype(x.dtype, jnp.bool_):
+                        return x ^ (i % 2).astype(jnp.bool_)
+                    return (x.astype(jnp.float32) + (i % 3).astype(jnp.float32)).astype(
+                        x.dtype
+                    )
+
+                bumped = jax.tree_util.tree_map(bump_leaf, a, bump_mask)
                 out = fn(*bumped)
                 return acc + jnp.sum(out.astype(jnp.float32))
 
@@ -58,12 +78,13 @@ def device_time(
 
     run_lo = looped(n_lo)
     run_hi = looped(n_hi)
-    float(run_lo(*args))  # compile
-    float(run_hi(*args))
+    args = tuple(args)
+    float(run_lo(args))  # compile
+    float(run_hi(args))
 
     def measure(r):
         t0 = time.perf_counter()
-        float(r(*args))
+        float(r(args))
         return time.perf_counter() - t0
 
     deltas = []
