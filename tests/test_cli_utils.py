@@ -30,6 +30,30 @@ def test_cli_run_synthetic(tmp_path, capsys):
     assert (stages / "manifest.json").exists()
 
 
+def test_cli_run_real_image_files(tmp_path, capsys):
+    """File round trip (the reference's imread -> compute -> imwrite loop):
+    PNGs in, normalized-u8 disparity PNG out (`SAD/SADmain.cpp:27-28,86-95`)."""
+    from stereo_match_traditional_tpu import cli
+    from stereo_match_traditional_tpu.utils import io
+    from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+    L, R, _ = make_pair(48, 64, 10, seed=3)
+    lp, rp, out = tmp_path / "l.png", tmp_path / "r.png", tmp_path / "d.png"
+    io.imwrite(str(lp), L)
+    io.imwrite(str(rp), R)
+    rc = cli.main(
+        [
+            "run", "sad", "--left", str(lp), "--right", str(rp),
+            "--disp-range", "10", "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    disp = io.imread(str(out))
+    assert disp.shape[:2] == (48, 64) and disp.dtype == np.uint8
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shape"] == [48, 64]
+
+
 def test_cli_run_streamed_executor(capsys):
     from stereo_match_traditional_tpu import cli
 

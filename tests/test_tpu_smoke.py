@@ -51,6 +51,31 @@ def test_pipeline_on_hardware(name, cfg, max_bad2):
     assert bad2 <= max_bad2, (name, bad2)
 
 
+def test_full_flagship_on_hardware():
+    """The heaviest compiled program: scanline (lax.scan over columns) +
+    the complete post chain (speckle flood, 8-dir fill, median) lowered to
+    the real accelerator, not the CPU simulator."""
+    L, R, gt = make_pair(375, 450, 60, seed=0)
+    cfg = cfgs.ADCensusConfig(scanline=cfgs.ScanlineConfig(), run_post=True)
+    fn, _ = get_pipeline("ad_census")
+    res = jax.jit(lambda l, r: fn(l, r, cfg))(jnp.asarray(L), jnp.asarray(R))
+    df = np.asarray(res.disp_final)
+    assert df.shape == (375, 450) and np.isfinite(df).all()
+    assert bad_pixel_rate(df, gt) <= 0.15
+
+
+def test_canonical_cross_two_pass_on_hardware():
+    """The canonical (ADCensusOption) path's banded-MXU einsum aggregation
+    compiled on hardware (method='auto' selects the matmul path here)."""
+    L, R, gt = make_pair(375, 450, 60, seed=0)
+    cfg = cfgs.ADCensusConfig(aggregation="cross_two_pass")
+    fn, _ = get_pipeline("ad_census")
+    res = jax.jit(lambda l, r: fn(l, r, cfg))(jnp.asarray(L), jnp.asarray(R))
+    dl = np.asarray(res.disp_left)
+    assert np.isfinite(dl).all() and dl.min() >= 0 and dl.max() <= 60
+    assert bad_pixel_rate(dl, gt) <= 0.15
+
+
 def test_asw_pallas_compiled_matches_jnp():
     """The compiled Mosaic kernel == the jnp scan on hardware (the CPU
     suite only checks the interpreter)."""
