@@ -81,3 +81,65 @@ def test_full_post_on_degenerate_map():
     d = post.fill_holes_8dir(d, lr.occlusion, lr.mismatch, max_search=5)
     d = post.median_filter(d, 3)
     assert np.asarray(d).shape == (12, 16)  # must not crash or hang
+
+
+# ---------------------------------------------------------------------------
+# config-lattice sweep: every documented enum/flag combination per pipeline
+# runs end to end at tiny shapes — the cross-flag interactions (e.g. the
+# canonical scanline+post chain under cross_two_pass) that per-flag unit
+# tests cannot catch.
+# ---------------------------------------------------------------------------
+
+
+def _lattice():
+    cases = []
+    for subpixel in (False, True):
+        for right in (False, True):
+            cases.append(("sad", dict(max_disparity=6, winsize=2,
+                                      subpixel=subpixel, compute_right=right,
+                                      run_post=right)))
+    for mode in ("ignore", "sentinel"):
+        cases.append(("ncc", dict(disp_range=6, win_size=2, invalid_mode=mode)))
+    cases.append(("ncc", dict(disp_range=6, win_size=2, variant="shifted",
+                              alt_max_offset=6)))
+    for variant in ("fused", "lab"):
+        for post_on in (False, True):
+            cases.append(("asw", dict(disp_range=6, win_size=2, variant=variant,
+                                      use_pallas=False, run_post=post_on)))
+    for agg in ("rect_mean", "cross_two_pass", "none"):
+        for scan in (False, True):
+            for post_on in (False, True):
+                cases.append(("ad_census", dict(disp_range=6, aggregation=agg,
+                                                scanline=scan, run_post=post_on)))
+    for cost in ("ad", "sad_mean", "local_mean"):
+        for agg in ("rect_mean", "rect_mean_v4", "cross_two_pass", "none"):
+            cases.append(("cblsm", dict(disp_range=6, win_size=2, cost=cost,
+                                        aggregation=agg)))
+    cases.append(("cblsm", dict(disp_range=6, second_pass_left_arms=False,
+                                run_post=True)))
+    return cases
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,kw", _lattice())
+def test_config_lattice(name, kw):
+    if kw.pop("scanline", False):
+        kw["scanline"] = cfgs.ScanlineConfig()
+    L, R, _ = make_pair(20, 36, 6, seed=4)
+    cfg = _cfg_for(name, **kw)
+    fn, _ = get_pipeline(name)
+    extra = {}
+    if name == "asw" and kw.get("variant") == "lab":
+        # the lab variant weights from L*a*b* planes (`ASWeight.cpp:33-34`)
+        extra = dict(
+            left_lab=jnp.stack([jnp.asarray(L)] * 3, -1),
+            right_lab=jnp.stack([jnp.asarray(R)] * 3, -1),
+        )
+    res = fn(jnp.asarray(L), jnp.asarray(R), cfg, **extra)
+    d = np.asarray(res.disp_left)
+    assert d.shape == (20, 36)
+    finite = d[np.isfinite(d)]
+    assert finite.size and finite.min() >= 0
+    if kw.get("run_post"):
+        assert res.disp_final is not None
+        assert np.asarray(res.disp_final).shape == (20, 36)
