@@ -35,6 +35,12 @@ def finish_from_volumes(name: str, vol_l, vol_r, cfg):
     ``return_stages=True`` run produced — e.g. reloaded with
     `utils.checkpoint.load_array` after a failure — and the result matches
     the original run's disparity maps bit-for-bit.
+
+    The canonical ad_census mode (``aggregation='cross_two_pass'`` with
+    ``run_post``) is rejected: its post chain (`ad_census_post_canonical`)
+    needs the left arm maps, which are not part of the saved stage set —
+    silently running the legacy post here would diverge from the original
+    run.
     """
     import jax.numpy as jnp
 
@@ -71,6 +77,17 @@ def finish_from_volumes(name: str, vol_l, vol_r, cfg):
 
         fin = asw_post(disp_l, disp_r, cfg) if cfg.run_post else None
         return StereoResult(disp_l, disp_r, fin)
+    if (
+        name == "ad_census"
+        and cfg.run_post
+        and cfg.aggregation == "cross_two_pass"
+    ):
+        raise ValueError(
+            "finish_from_volumes cannot re-run the canonical "
+            "(cross_two_pass) post chain: ad_census_post_canonical needs "
+            "the left arm maps, which saved stages do not include — re-run "
+            "the full pipeline, or finish with run_post=False"
+        )
     post_fn = ad_census_post if name == "ad_census" else cblsm_post
     if cfg.run_post:
         fin, occl, mism = post_fn(disp_l, disp_r, cfg)

@@ -36,20 +36,16 @@ from stereo_match_traditional_tpu.ops.post import (
 
 def _edge_from_prev(x_row, axis_name, fill):
     """Receive the neighbor-above's row (tile i gets tile i-1's row)."""
-    n = lax.axis_size(axis_name)
-    idx = lax.axis_index(axis_name)
-    perm = [(i, i + 1) for i in range(n - 1)]
-    y = lax.ppermute(x_row, axis_name, perm)
-    return jnp.where(idx == 0, jnp.asarray(fill, x_row.dtype), y)
+    from stereo_match_traditional_tpu.parallel.halo import _shift_down
+
+    return _shift_down(x_row, axis_name, jnp.asarray(fill, x_row.dtype))
 
 
 def _edge_from_next(x_row, axis_name, fill):
     """Receive the neighbor-below's row (tile i gets tile i+1's row)."""
-    n = lax.axis_size(axis_name)
-    idx = lax.axis_index(axis_name)
-    perm = [(i + 1, i) for i in range(n - 1)]
-    y = lax.ppermute(x_row, axis_name, perm)
-    return jnp.where(idx == n - 1, jnp.asarray(fill, x_row.dtype), y)
+    from stereo_match_traditional_tpu.parallel.halo import _shift_up
+
+    return _shift_up(x_row, axis_name, jnp.asarray(fill, x_row.dtype))
 
 
 def remove_speckles_sharded(
@@ -246,12 +242,17 @@ def asw_post_sharded(
         src = jnp.clip(rows, 0, global_rows - 1) - first_row
         return jnp.take(x, src, axis=0)
 
-    # global cv::normalize(0,255,NORM_MINMAX) (`ASWeight.cpp:69`); bottom
-    # padding rows replicate the global edge row so they cannot perturb
-    # the extrema
+    # global cv::normalize(0,255,NORM_MINMAX) (`ASWeight.cpp:69`).  The
+    # bottom tile's out-of-image padding rows hold values computed from
+    # edge-replicated image rows (different window support than any real
+    # row) and are only re-pointed at the true edge row *after* the speckle
+    # stage — mask them out of the extrema or the scale silently differs
+    # from the untiled run whenever a padding row attains the min/max.
     d = lr.disp
-    lo = lax.pmin(jnp.min(d), axis_name)
-    hi = lax.pmax(jnp.max(d), axis_name)
+    rows = row_offset + jnp.arange(t, dtype=jnp.int32)
+    in_image = (rows < global_rows)[:, None]
+    lo = lax.pmin(jnp.min(jnp.where(in_image, d, jnp.inf)), axis_name)
+    hi = lax.pmax(jnp.max(jnp.where(in_image, d, -jnp.inf)), axis_name)
     scale = jnp.where(hi > lo, 255.0 / (hi - lo), 0.0)
     d = jnp.round((d - lo) * scale)
 

@@ -228,6 +228,15 @@ def _check_tiled_support(name: str, cfg) -> None:
             f"unknown aggregation {cfg.aggregation!r}; "
             "expected 'rect_mean', 'cross_two_pass' or 'none'"
         )
+    elif name == "ad_census" and cfg.aggregation == "cross_two_pass" and (
+        cfg.scanline is not None or cfg.run_post
+    ):
+        # the canonical (ADCensusOption) mode changes the scanline to the
+        # tso-scheduled form on BOTH volumes and the post chain to
+        # lr-thres/region-voting/discontinuity (models.ad_census); the tile
+        # cores only implement the legacy scanline/post — running them here
+        # would silently return different semantics than the direct executor
+        unsupported = "ad_census cross_two_pass with scanline/run_post"
     if unsupported is not None:
         raise NotImplementedError(
             f"tiled execution does not implement {unsupported}; use the "
@@ -455,6 +464,7 @@ def ncc_tile_disp(
     (`wta_sharded` 'max') combines over ICI.  Non-divisible ranges round
     the slice up and mask the padded entries to -inf.
     """
+    _check_tiled_support("ncc", cfg)  # e.g. variant='shifted' has no tile core
     halo = receptive_field_rows("ncc", cfg)
     n_t = mesh.shape[tile_axis]
     n_d = mesh.shape[disp_axis]

@@ -241,6 +241,17 @@ def test_gspmd_pipeline_matches_single_device():
     for name, cfg, exact in [
         ("sad", cfgs.SADConfig(max_disparity=10, winsize=1, run_post=True), True),
         ("ad_census", cfgs.ADCensusConfig(disp_range=10, run_post=True), False),
+        # the full canonical (ADCensusOption) chain — the mode the tiled
+        # executor rejects and routes here (tso scanline on both volumes,
+        # region voting, discontinuity adjustment)
+        (
+            "ad_census",
+            cfgs.ADCensusConfig(
+                disp_range=10, aggregation="cross_two_pass",
+                scanline=cfgs.ScanlineConfig(), run_post=True,
+            ),
+            False,
+        ),
     ]:
         fn, _ = get_pipeline(name)
         want = fn(jnp.asarray(L), jnp.asarray(R), cfg)

@@ -72,3 +72,78 @@ def test_asw_shard_post_exact():
     ref = jax.jit(tiled_pipeline("asw", cfg, mesh, shard_post=False))(left, right)
     got = jax.jit(tiled_pipeline("asw", cfg, mesh, shard_post=True))(left, right)
     _assert_result_equal(got, ref)
+
+
+def test_asw_shard_post_padding_rows_cannot_perturb_normalize():
+    """Regression: the global min-max scale must ignore the bottom tile's
+    out-of-image padding rows.  Feed the sharded post chain tiles whose
+    padding rows carry an extreme value (as edge-replicated image rows can
+    produce) and assert the real rows still match the untiled chain."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from stereo_match_traditional_tpu.models.asw import asw_post
+    from stereo_match_traditional_tpu.parallel.post_shard import asw_post_sharded
+
+    h_real, w, tiles = 90, 70, 8
+    t = -(-h_real // tiles)  # 12 -> padded 96
+    rng = np.random.default_rng(7)
+    real = rng.integers(0, 8, size=(h_real, w)).astype(np.float32)
+    dl = np.full((tiles * t, w), 200.0, np.float32)  # padding rows: extreme
+    dl[:h_real] = real
+    dr = dl.copy()
+    cfg = ASWConfig(disp_range=8, win_size=2, run_post=True)
+    mesh = make_mesh(tiles, ("tile",))
+
+    def tile_fn(dlt, drt):
+        idx = lax.axis_index("tile")
+        out, _, _ = asw_post_sharded(
+            dlt, drt, cfg, "tile", row_offset=idx * t, global_rows=h_real
+        )
+        return out
+
+    got = jax.jit(
+        jax.shard_map(
+            tile_fn, mesh=mesh, in_specs=(P("tile"), P("tile")),
+            out_specs=P("tile"), check_vma=False,
+        )
+    )(jnp.asarray(dl), jnp.asarray(dr))
+    want = asw_post(jnp.asarray(real), jnp.asarray(dr[:h_real]), cfg)
+    np.testing.assert_array_equal(np.asarray(got)[:h_real], np.asarray(want))
+
+
+def test_tiled_rejects_canonical_scanline_post():
+    """The tile cores implement the legacy scanline/post; the canonical
+    (cross_two_pass) mode must be rejected, not silently downgraded."""
+    mesh = make_mesh(8, ("tile",))
+    from stereo_match_traditional_tpu.config import ScanlineConfig
+
+    for kw in (dict(scanline=ScanlineConfig()), dict(run_post=True)):
+        cfg = ADCensusConfig(disp_range=8, aggregation="cross_two_pass", **kw)
+        with pytest.raises(NotImplementedError, match="cross_two_pass"):
+            tiled_pipeline("ad_census", cfg, mesh)
+    # plain canonical aggregation (WTA only) stays supported
+    tiled_pipeline(
+        "ad_census", ADCensusConfig(disp_range=8, aggregation="cross_two_pass"), mesh
+    )
+
+
+def test_ncc_tile_disp_rejects_shifted_variant():
+    from stereo_match_traditional_tpu.config import NCCConfig
+    from stereo_match_traditional_tpu.parallel.tiled import ncc_tile_disp
+
+    mesh = make_mesh(8, ("tile", "disp"), shape=(4, 2))
+    with pytest.raises(NotImplementedError, match="variant"):
+        ncc_tile_disp(NCCConfig(disp_range=8, variant="shifted"), mesh)
+
+
+def test_finish_from_volumes_rejects_canonical_post():
+    import jax.numpy as jnp
+
+    from stereo_match_traditional_tpu.models.registry import finish_from_volumes
+
+    cfg = ADCensusConfig(disp_range=4, aggregation="cross_two_pass", run_post=True)
+    vol = jnp.zeros((4, 8, 10), jnp.float32)
+    with pytest.raises(ValueError, match="canonical"):
+        finish_from_volumes("ad_census", vol, vol, cfg)
