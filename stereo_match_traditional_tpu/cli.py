@@ -165,7 +165,14 @@ def cmd_run(args) -> int:
     if gt is not None:
         from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
 
-        summary["bad_2.0"] = round(bad_pixel_rate(disp, gt), 4)
+        metric_map = disp
+        if args.pipeline == "asw" and res.disp_final is not None:
+            # ASW's faithful final map is the reference's *display* scale
+            # (cv::normalize to 0-255 before speckles, `ASWeight.cpp:69`),
+            # not disparity units — measure accuracy on the raw WTA map.
+            metric_map = np.asarray(res.disp_left)
+            summary["bad_2.0_map"] = "disp_left (disp_final is display-scaled)"
+        summary["bad_2.0"] = round(bad_pixel_rate(metric_map, gt), 4)
     summary.update(json.loads(timer.report()))
     print(json.dumps(summary))
     return 0
