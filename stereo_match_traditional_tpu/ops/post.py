@@ -157,7 +157,7 @@ def remove_speckles(
     min_speckle_area: int = 80,
     invalid_value: float = INVALID,
     background: Optional[float] = None,
-    max_iters: int = 256,
+    max_iters: Optional[int] = None,
     connectivity: int = 8,
 ) -> jax.Array:
     """Connected-component speckle filter (`SAD/Sad.h:251-315`,
@@ -175,14 +175,26 @@ def remove_speckles(
 
     The BFS becomes iterative min-label flooding via segmented min-scans
     along connected runs (all four directions; diagonals on sheared views),
-    iterated to the fixpoint with `lax.while_loop` (bounded by
-    ``max_iters``).  ``connectivity=4`` restricts edges to the axis
+    iterated to the fixpoint with `lax.while_loop`.  From sweep 24 onward
+    every third sweep also pointer-jumps (``label <- label[label]``, one
+    element gather): a component whose min-label path crosses many run
+    junctions (a serpentine needs ~segments sweeps — a tall snake
+    exceeded the old fixed cap of 256 and was then *entirely* invalidated,
+    every fragment undercounting the area) converges in O(log) jumps
+    instead.  Real maps converge in <=20 sweeps and never pay for the
+    gather.  ``max_iters=None`` derives a cap from the image size; the
+    loop always exits at the fixpoint long before it on non-adversarial
+    inputs.  ``connectivity=4`` restricts edges to the axis
     neighbors — OpenCV ``filterSpeckles`` semantics (the ASW driver's
     `ASWeight.cpp:73`); the reference's own BFS variants are 8-connected.
     """
     if connectivity not in (4, 8):
         raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     h, w = disp.shape
+    if max_iters is None:
+        # jumps double the resolved pointer depth every 3 sweeps; generous
+        # margin over 24 + 3*log2(h*w), and never reached in practice
+        max_iters = 32 + 8 * max(1, (h * w - 1).bit_length())
     d = disp.astype(jnp.float32)
     valid = jnp.isfinite(d) & (d != invalid_value)
 
@@ -192,9 +204,22 @@ def remove_speckles(
 
     sweep = _speckle_sweep_fn(d, valid, diff_insame, connectivity, big)
 
+    def _jump(l):
+        # label[p] always names a pixel of p's own component (induction
+        # over sweeps), so following it once more stays in-component and
+        # only decreases labels; invalid pixels hold `big` -> sentinel.
+        flat = jnp.concatenate([l.reshape(-1), big[None]])
+        return jnp.minimum(l, flat[l])
+
     def step(state):
         labels, _, it = state
         new = sweep(labels)
+        # start jumping only past the sweep counts real maps ever need
+        # (Teddy converges in <=20; jumping earlier measured +1.3 ms on the
+        # FULL flagship from the per-jump element gather)
+        new = jax.lax.cond(
+            (it >= 24) & ((it - 24) % 3 == 0), _jump, lambda l: l, new
+        )
         return new, jnp.any(new != labels), it + 1
 
     def cond(state):
@@ -700,6 +725,16 @@ def median_filter(
     radius = size // 2
     xf = x.astype(jnp.float32)
     if border == "replicate":
+        if row_offset != 0 or global_rows is not None:
+            # replicate-mode tiling needs processed-edge re-pointing between
+            # stages, which only the caller can do (see
+            # parallel.post_shard.asw_post_sharded) — reject rather than
+            # silently replicate the tile-local edge at interior boundaries
+            raise NotImplementedError(
+                "median_filter(border='replicate') has no row-offset form; "
+                "run it on halo-extended tiles and re-point out-of-image "
+                "rows at the processed global edge (post_shard pattern)"
+            )
         h, w = x.shape
         xp = jnp.pad(xf, radius, mode="edge")
         xs = [

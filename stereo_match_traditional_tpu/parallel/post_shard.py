@@ -57,7 +57,7 @@ def remove_speckles_sharded(
     global_rows: int,
     invalid_value: float = INVALID,
     background: Optional[float] = None,
-    max_iters: int = 256,
+    max_iters: Optional[int] = None,
     connectivity: int = 8,
 ) -> jax.Array:
     """Exact sharded `ops.post.remove_speckles` for a [T, W] row tile
@@ -66,8 +66,17 @@ def remove_speckles_sharded(
     ``row_offset`` is the tile's first global row (traced or static);
     rows at or beyond ``global_rows`` (the bottom tile's padding) are
     treated as invalid so padded runs can't glue components together.
+
+    Labels are *global* flat indices but each device only holds its tile,
+    so the unsharded path's pointer-jump shortcut is unavailable here;
+    ``max_iters=None`` derives a run-path cap of ``global_rows + w``
+    instead (sound for serpentine/spiral components whose runs scale with
+    the image dims; the loop exits at the fixpoint far earlier on real
+    maps).
     """
     t, w = disp.shape
+    if max_iters is None:
+        max_iters = global_rows + w + 8
     d = disp.astype(jnp.float32)
     row_ids = row_offset + jnp.arange(t, dtype=jnp.int32)
     in_image = (row_ids < global_rows)[:, None]

@@ -174,6 +174,32 @@ def test_remove_speckles_max_iters_bounds_loop():
     assert out.shape == (64, 64)  # bounded loop returns (possibly unconverged)
 
 
+def test_remove_speckles_serpentine_converges():
+    """Regression: a single snaking component whose min-label path crosses
+    ~rows junctions must fully converge (pointer jumps), not hit the
+    iteration cap and silently self-fragment into below-area pieces that
+    all get invalidated."""
+    h, w = 512, 17
+    d = np.full((h, w), np.inf, np.float32)
+    for r in range(0, h, 2):
+        d[r, :] = 5.0                      # horizontal rungs
+        if r + 1 < h:
+            d[r + 1, -1 if (r // 2) % 2 == 0 else 0] = 5.0  # alternating joins
+    n_pix = int(np.isfinite(d).sum())
+    # 80 iterations: far below the ~h/4 pure sweeps this snake needs, ample
+    # for the O(log) pointer-jump path — pins the convergence guarantee
+    out = np.asarray(
+        post.remove_speckles(d, 1.0, n_pix, invalid_value=np.inf, max_iters=80)
+    )
+    # one connected component of exactly n_pix >= min_area: nothing killed
+    np.testing.assert_array_equal(np.isfinite(out), np.isfinite(d))
+    # and the same snake one pixel smaller than the threshold dies entirely
+    out2 = np.asarray(
+        post.remove_speckles(d, 1.0, n_pix + 1, invalid_value=np.inf, max_iters=80)
+    )
+    assert not np.isfinite(out2).any()
+
+
 def test_lr_check_banded_matches_gather():
     """disp_range-banded shift+select == take_along_axis gathers, including
     invalid (inf / 0) entries in both maps."""
