@@ -34,6 +34,42 @@ from stereo_match_traditional_tpu.config import ScanlineConfig
 _BIG = float("inf")  # python float: no device work at import time
 
 
+def _scan_unrolled(step, first, xs, unroll):
+    """Drive ``step(prev, prev_min, *xs_t)`` over t = 1..N-1 as a
+    `lax.scan` of ``unroll``-step chunks plus a remainder tail — the shared
+    scaffolding of both scanline recurrences (the chain is strictly
+    sequential; unrolling only amortizes per-step scan overhead, results
+    are bit-identical for any unroll).
+
+    ``xs``: per-step operand arrays, each [N, ...] (index 0 unused —
+    ``first = cost[0]`` seeds the carry).  Returns (aggregated [N, ...],
+    final (prev, prev_min) carry).
+    """
+    carry0 = (first, jnp.min(first, axis=-2))
+    n = xs[0].shape[0]
+    k = max(1, unroll)
+    main = ((n - 1) // k) * k
+
+    def body(carry, chunk):
+        prev, prev_min = carry
+        outs = []
+        for t in range(k):
+            prev, prev_min = step(prev, prev_min, *(x[t] for x in chunk))
+            outs.append(prev)
+        return (prev, prev_min), jnp.stack(outs)
+
+    xs_main = tuple(
+        x[1 : 1 + main].reshape((main // k, k) + x.shape[1:]) for x in xs
+    )
+    carry, ys = jax.lax.scan(body, carry0, xs_main)
+    pieces = [first[None], ys.reshape((main,) + first.shape)]
+    for t in range(1 + main, n):  # remainder, at most k-1 steps
+        out, out_min = step(carry[0], carry[1], *(x[t] for x in xs))
+        carry = (out, out_min)
+        pieces.append(out[None])
+    return jnp.concatenate(pieces, axis=0), carry
+
+
 def _directional_pass(
     cost: jax.Array,
     gray: jax.Array,
@@ -84,33 +120,7 @@ def _directional_pass(
         )
         return out, jnp.min(out, axis=-2)
 
-    first = cost[0]
-    carry0 = (first, jnp.min(first, axis=-2))
-    n = cost.shape[0]
-    k = max(1, unroll)
-    main = ((n - 1) // k) * k
-
-    def body(carry, xs):
-        prev, prev_min = carry
-        cs, ps = xs             # [k, ..., D], [k, ...]
-        outs = []
-        for t in range(k):
-            prev, prev_min = step(prev, prev_min, cs[t], ps[t])
-            outs.append(prev)
-        return (prev, prev_min), jnp.stack(outs)
-
-    chunk_shape = (main // k, k)
-    xs_main = (
-        cost[1 : 1 + main].reshape(chunk_shape + cost.shape[1:]),
-        p2[1 : 1 + main].reshape(chunk_shape + p2.shape[1:]),
-    )
-    carry, ys = jax.lax.scan(body, carry0, xs_main)
-    pieces = [first[None], ys.reshape((main,) + cost.shape[1:])]
-    for t in range(1 + main, n):  # remainder, at most k-1 steps
-        out, out_min = step(carry[0], carry[1], cost[t], p2[t])
-        carry = (out, out_min)
-        pieces.append(out[None])
-    return jnp.concatenate(pieces, axis=0), carry
+    return _scan_unrolled(step, cost[0], (cost, p2), unroll)
 
 
 def _canonical_pass(
@@ -159,34 +169,8 @@ def _canonical_pass(
         )
         return out, jnp.min(out, axis=-2)
 
-    first = cost[0]
-    carry0 = (first, jnp.min(first, axis=-2))
-    n = cost.shape[0]
-    k = max(1, unroll)
-    main = ((n - 1) // k) * k
-
-    def body(carry, xs):
-        prev, prev_min = carry
-        cs, p1c, p2c = xs
-        outs = []
-        for t in range(k):
-            prev, prev_min = step(prev, prev_min, cs[t], p1c[t], p2c[t])
-            outs.append(prev)
-        return (prev, prev_min), jnp.stack(outs)
-
-    chunk = (main // k, k)
-    xs_main = (
-        cost[1 : 1 + main].reshape(chunk + cost.shape[1:]),
-        p1s[1 : 1 + main].reshape(chunk + p1s.shape[1:]),
-        p2s[1 : 1 + main].reshape(chunk + p2s.shape[1:]),
-    )
-    carry, ys = jax.lax.scan(body, carry0, xs_main)
-    pieces = [first[None], ys.reshape((main,) + cost.shape[1:])]
-    for t in range(1 + main, n):
-        out, out_min = step(carry[0], carry[1], cost[t], p1s[t], p2s[t])
-        carry = (out, out_min)
-        pieces.append(out[None])
-    return jnp.concatenate(pieces, axis=0)
+    out, _ = _scan_unrolled(step, cost[0], (cost, p1s, p2s), unroll)
+    return out
 
 
 def scanline_optimize_canonical(
