@@ -33,6 +33,24 @@ class LRResult(NamedTuple):
     mismatch: jax.Array   # bool [H, W]
 
 
+def _shift_fwd2(x, s, axis, fill):
+    """out[j] = x[j - s] along ``axis`` (fill at the start)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (s, 0)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis])
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def _shift_bwd2(x, s, axis, fill):
+    """out[j] = x[j + s] along ``axis`` (fill at the end)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, s)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(s, s + x.shape[axis])
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
 def _banded_select_cols(vals, col, jj, lo, hi):
     """``vals[i, col[i, j]]`` where ``col`` is known to stay within the
     per-pixel band ``[j + lo, j + hi]`` (disparity-bounded reprojection),
@@ -48,10 +66,7 @@ def _banded_select_cols(vals, col, jj, lo, hi):
     off = col - jj
     out = jnp.zeros_like(vals)
     for o in range(lo, hi + 1):
-        if o <= 0:
-            sh = jnp.pad(vals, ((0, 0), (-o, 0)))[:, :w]
-        else:
-            sh = jnp.pad(vals, ((0, 0), (0, o)))[:, o : o + w]
+        sh = _shift_fwd2(vals, -o, 1, 0) if o <= 0 else _shift_bwd2(vals, o, 1, 0)
         out = jnp.where(off == o, sh, out)
     return out
 
@@ -244,24 +259,6 @@ def remove_speckles(
     return jnp.where(kill, invalid_value, d)
 
 
-def _shift_fwd2(x, s, axis, fill):
-    """out[j] = x[j - s] along ``axis`` (fill at the start)."""
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (s, 0)
-    sl = [slice(None)] * x.ndim
-    sl[axis] = slice(0, x.shape[axis])
-    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
-
-
-def _shift_bwd2(x, s, axis, fill):
-    """out[j] = x[j + s] along ``axis`` (fill at the end)."""
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, s)
-    sl = [slice(None)] * x.ndim
-    sl[axis] = slice(s, s + x.shape[axis])
-    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
-
-
 def _doubling_masks(conn, axis):
     """[(s, in-run-fwd, in-run-bwd)] for s = 1, 2, 4, ...: whether the
     pixel s before/after (along ``axis``) belongs to the same run.
@@ -390,15 +387,9 @@ def _nearest_valid_along_axis(
 
     def _shift(x, s, fill):
         # bring the element s positions earlier along the scan direction
-        pad = [(0, 0)] * x.ndim
-        sl = [slice(None)] * x.ndim
         if not reverse:
-            pad[axis] = (s, 0)
-            sl[axis] = slice(0, n)
-        else:
-            pad[axis] = (0, s)
-            sl[axis] = slice(s, s + n)
-        return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+            return _shift_fwd2(x, s, axis, fill)
+        return _shift_bwd2(x, s, axis, fill)
 
     v, i, h = values, jnp.where(valid, pos, 0), valid
     s = 1
