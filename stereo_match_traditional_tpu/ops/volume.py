@@ -161,8 +161,19 @@ def box_sum_valid(x: jax.Array, radius_r: int, radius_c: int) -> jax.Array:
     h, w = hp - 2 * radius_r, wp - 2 * radius_c
     br = _band_matrix(hp, h, radius_r, x.dtype)
     bc = _band_matrix(wp, w, radius_c, x.dtype)
-    t = jnp.einsum("ph,...pq->...hq", br, x, preferred_element_type=jnp.float32)
-    return jnp.einsum("...hq,qw->...hw", t, bc, preferred_element_type=jnp.float32)
+    # precision HIGHEST: the default TPU matmul truncates f32 operands to
+    # bf16 — the band side is exact 0/1, but NCC's squared-intensity
+    # operands (<=16384) and even the first pass's row sums are not bf16
+    # representable (measured max abs error 656 on a Teddy-sized
+    # box_sum(lf^2), where ncc_volume's degenerate-window mask assumes
+    # exact-f32 error < 0.5).  Matches every other MXU matmul here.
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum(
+        "ph,...pq->...hq", br, x, preferred_element_type=jnp.float32, precision=hi
+    )
+    return jnp.einsum(
+        "...hq,qw->...hw", t, bc, preferred_element_type=jnp.float32, precision=hi
+    )
 
 
 def box_sum_same(x: jax.Array, radius_r: int, radius_c: int) -> jax.Array:

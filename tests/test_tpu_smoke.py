@@ -76,6 +76,25 @@ def test_canonical_cross_two_pass_on_hardware():
     assert bad_pixel_rate(dl, gt) <= 0.15
 
 
+def test_box_sum_exact_f32_on_hardware():
+    """Regression: the box-sum einsums must run at precision HIGHEST — the
+    TPU's default matmul truncates f32 operands to bf16, which corrupted
+    NCC's squared-intensity window sums by up to 656 absolute (the
+    degenerate-variance mask assumes exact-f32 error < 0.5).  The CPU
+    backend ignores precision, so only a hardware run can catch this."""
+    from stereo_match_traditional_tpu.ops.volume import box_sum_same
+
+    L, _, _ = make_pair(375, 450, 60, seed=0)
+    sq = (L.astype(np.float32) - 128.0) ** 2
+    got = np.asarray(jax.jit(lambda x: box_sum_same(x, 5, 5))(jnp.asarray(sq)))
+    pad = np.pad(sq.astype(np.float64), 5)
+    want = np.zeros_like(sq, np.float64)
+    for dy in range(11):
+        for dx in range(11):
+            want += pad[dy : dy + 375, dx : dx + 450]
+    np.testing.assert_allclose(got, want, atol=0.25)
+
+
 def test_asw_pallas_compiled_matches_jnp():
     """The compiled Mosaic kernel == the jnp scan on hardware (the CPU
     suite only checks the interpreter)."""
