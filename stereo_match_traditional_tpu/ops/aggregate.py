@@ -596,8 +596,12 @@ def cross_aggregate(
       bands would need ~7 GB).
 
     ``max_arm``: static arm-length cap (`CrossAggregatorParams.cross_l1`
-    for canonical arms) enabling the banded VPU picks on the gather path —
-    bit-identical to plain gathers (see :func:`_hsum`).
+    for canonical arms) that switches the gather path's span sums to the
+    banded VPU select chain — bit-identical to plain gathers (see
+    :func:`_hsum`).  NOTE: on volumes this is *slower* (the measured trade
+    in :func:`_banded_pick` — 31.9 -> 41.2 ms e2e) and it also disables
+    the 'auto' matmul path; it exists for exactness cross-checks, not
+    speed — leave it None in production calls (every pipeline does).
     """
     ones = jnp.ones(vol.shape[-2:], vol.dtype)
     sup_h_first = _vsum(_hsum(ones, arms.left, arms.right), arms.up, arms.down)
@@ -681,6 +685,12 @@ def rect_mean_aggregate_volume(
     j1 = jnp.clip(j1, 0, w - 1)
     sat = _sat(vol)  # [D, H+1, W+1]
     dd = jax.lax.broadcasted_iota(jnp.int32, (d, h, w), 0)
+
+    # Per-element picks (scalar-core gather): unlike rect_mean_aggregate,
+    # the v4 arms are *disparity-conditioned* — every d has different
+    # corner coordinates — so the contiguous-D-row gather layout of
+    # `_rect_sums_shared_bounds` cannot apply.  Dormant path
+    # (CBLSM aggregation='rect_mean_v4'); correctness over speed.
     def g(i, j):
         return sat[dd, i, j]
     total = g(i1 + 1, j1 + 1) - g(i0, j1 + 1) - g(i1 + 1, j0) + g(i0, j0)

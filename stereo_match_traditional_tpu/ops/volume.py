@@ -598,15 +598,14 @@ def asw_volume(
     Inputs are unpadded uint8/float grayscale; replicate padding (radius+? )
     matches `ASW/ASWeight.cpp:54-55` (pad = win_size + 1 = radius).
     """
-    radius = win_size + 1
-    lf = left.astype(jnp.float32)
-    rf = right.astype(jnp.float32)
-    h, w = lf.shape
-
     if view == "right":
         return asw_volume_right(
             left, right, disp_range, win_size, space_sigma, color_sigma, truncation
         )
+    radius = win_size + 1
+    lf = left.astype(jnp.float32)
+    rf = right.astype(jnp.float32)
+    h, w = lf.shape
 
     space = _space_mask(radius, space_sigma)
     side = 2 * radius + 1
@@ -695,6 +694,12 @@ def asw_lab_volume(
     the three Gaussians (a value in (0, 1]) is cast to int and used as an
     *index* into the 256-entry color LUT (`ASW.h:76-77`) — collapsing the
     color term to ~1 everywhere; default False = intended semantics.
+
+    The scan structure parallels :func:`asw_volume`, but deliberately so:
+    the two variants differ in weight inputs (Lab planes vs gray), error
+    truncation level (cost vs per-pixel, `ASW.h:171` vs `:358`), and
+    epilogue — a shared driver would need three callbacks and hide the
+    semantic differences this dormant path exists to document.
     """
     radius = win_size + 1
     side = 2 * radius + 1
