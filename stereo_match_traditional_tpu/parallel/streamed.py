@@ -66,7 +66,7 @@ def streamed_pipeline(name: str, cfg, row_tile: int = 128):
         def band(b):
             le = lax.dynamic_slice_in_dim(lp, b * t, t + 2 * halo, 0)
             re = lax.dynamic_slice_in_dim(rp, b * t, t + 2 * halo, 0)
-            return core(le, re, cfg, b * t - halo, h, halo, None, h)
+            return core(le, re, cfg, b * t - halo, h, halo, None)
 
         tiles = lax.map(band, jnp.arange(nb))
 

@@ -17,12 +17,10 @@ locally computable (no cross-shard border fill; see `ops.volume.ad_volume`).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -32,7 +30,7 @@ from stereo_match_traditional_tpu.models.asw import asw_post
 from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.models.cblsm import cblsm_post
 from stereo_match_traditional_tpu.models.sad import sad_post
-from stereo_match_traditional_tpu.ops import aggregate, post, volume, wta
+from stereo_match_traditional_tpu.ops import aggregate, volume, wta
 from stereo_match_traditional_tpu.parallel.halo import add_row_halo, crop_row_halo
 from stereo_match_traditional_tpu.parallel.scan_carry import scanline_optimize_sharded
 from stereo_match_traditional_tpu.parallel.wta_shard import wta_sharded
@@ -69,7 +67,7 @@ def receptive_field_rows(name: str, cfg) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _sad_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+def _sad_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     vol_l = volume.sad_volume(le, re, cfg.max_disparity, cfg.winsize, "left")
     out = {
         "disp_left": crop_row_halo(
@@ -82,7 +80,7 @@ def _sad_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
     return out
 
 
-def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     vol, interior = volume.ncc_volume(
         le, re, cfg.disp_range, cfg.win_size, cfg.invalid_mode, cfg.eps,
         row_offset=ro_ext, global_rows=rows,
@@ -91,7 +89,7 @@ def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
     return {"disp_left": crop_row_halo(disp, halo, 0)}
 
 
-def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     kw = dict(
         disp_range=cfg.disp_range,
         win_size=cfg.win_size,
@@ -119,7 +117,7 @@ def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
     }
 
 
-def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     d = cfg.disp_range
     vol_l = volume.ad_census_volume(
         le, re, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols,
@@ -150,7 +148,7 @@ def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
     if cfg.scanline is not None:
         gray_tile = crop_row_halo(le, halo, 0)
         agg_l = scanline_optimize_sharded(
-            agg_l, gray_tile, cfg.scanline, axis_name, true_rows
+            agg_l, gray_tile, cfg.scanline, axis_name, rows
         )
     return {
         "disp_left": wta.wta(agg_l, "min"),
@@ -158,7 +156,7 @@ def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
     }
 
 
-def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name, true_rows):
+def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     d = cfg.disp_range
     arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, rows)
     arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, rows)
@@ -290,7 +288,7 @@ def tiled_pipeline(
             ro_ext = idx * t - halo  # global row of the first extended row
             le = add_row_halo(lt, halo, axis_name)
             re = add_row_halo(rt, halo, axis_name)
-            out = core(le, re, cfg, ro_ext, h, halo, axis_name, h)
+            out = core(le, re, cfg, ro_ext, h, halo, axis_name)
             if post_fn is not None and getattr(cfg, "run_post", False):
                 dmap, occl, mism = post_fn(
                     out["disp_left"], out["disp_right"], cfg, axis_name,
@@ -366,36 +364,25 @@ def run_tiled(
 # ---------------------------------------------------------------------------
 
 
-def ad_census_tile_disp(
-    cfg: _cfg.ADCensusConfig, mesh: Mesh, tile_axis: str = "tile", disp_axis: str = "disp"
-):
-    """AD-Census over a 2-D mesh: rows sharded over ``tile_axis`` (halo
-    exchange) and the disparity range sharded over ``disp_axis`` (each
-    device builds its d-slice of the fused volume via the clamped-column
-    gather, aggregates it independently — rectangle means are per-d-slice —
-    and WTA combines with a two-stage `pmin`, `parallel.wta_shard`).
+def _tile_disp_driver(mesh, tile_axis, disp_axis, halo, disp_range, body):
+    """Shared 2-D ``(tile, disp)`` mesh scaffolding for the *_tile_disp
+    runners: row padding to a tile multiple, halo exchange, local d-slice
+    rounding, the shard_map wrapper, and the output crop.
 
-    Scanline optimization couples d±1 and is not supported with a sharded
-    disparity axis (assert below); keep ``cfg.scanline=None`` here or use
-    :func:`tiled_pipeline` with a 1-D mesh.
+    Non-divisible disparity ranges round the local slice up; ``body``
+    receives the padded-slot mask (global d >= disp_range, shape
+    [d_local, 1, 1]) and must mask those entries so the two-stage WTA never
+    selects them.  ``body(le, re, ro_ext, rows, d_off, pad_mask)`` returns a
+    dict of [T, W] maps; the driver returns ``(run_maps, d_local)`` where
+    ``run_maps(left, right)`` yields the dict cropped to the true height.
     """
-    assert cfg.scanline is None, "scanline couples d±1; use the 1-D tile mesh"
-    if cfg.aggregation != "rect_mean":
-        raise NotImplementedError(
-            f"ad_census_tile_disp implements aggregation='rect_mean' only "
-            f"(got {cfg.aggregation!r}); use tiled_pipeline or gspmd_pipeline"
-        )
-    halo = receptive_field_rows("ad_census", cfg)
     n_t = mesh.shape[tile_axis]
     n_d = mesh.shape[disp_axis]
-    # Non-divisible disparity ranges round the local slice up; the padded
-    # entries (global d >= disp_range) are masked to +inf after aggregation
-    # so the two-stage WTA never selects them.
-    if n_d > cfg.disp_range:
-        raise ValueError(f"disp axis ({n_d}) larger than disp_range ({cfg.disp_range})")
-    d_local = -(-cfg.disp_range // n_d)
+    if n_d > disp_range:
+        raise ValueError(f"disp axis ({n_d}) larger than disp_range ({disp_range})")
+    d_local = -(-disp_range // n_d)
 
-    def run(left, right):
+    def run_maps(left, right):
         h, w = left.shape
         h_pad = -(-h // n_t) * n_t
         t = h_pad // n_t
@@ -409,29 +396,8 @@ def ad_census_tile_disp(
             d_off = idx_d * d_local
             le = add_row_halo(lt, halo, tile_axis)
             re = add_row_halo(rt, halo, tile_axis)
-
-            vol_l = volume.ad_census_volume(
-                le, re, d_local, cfg.sigma_c, cfg.sigma_s,
-                cfg.census_rows, cfg.census_cols, "left", ro_ext, h, d_offset=d_off,
-            )
-            vol_r = volume.ad_census_volume(
-                le, re, d_local, cfg.sigma_c, cfg.sigma_s,
-                cfg.census_rows, cfg.census_cols, "right", ro_ext, h, d_offset=d_off,
-            )
-            arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, h)
-            arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, h)
-            for _ in range(cfg.agg_iters):
-                vol_l = aggregate.rect_mean_aggregate(vol_l, arms_l, max_span=cfg.arms.max_length)
-                vol_r = aggregate.rect_mean_aggregate(vol_r, arms_r, max_span=cfg.arms.max_length)
-            vol_l = crop_row_halo(vol_l, halo, 1)
-            vol_r = crop_row_halo(vol_r, halo, 1)
-            pad = ((d_off + jnp.arange(d_local)) >= cfg.disp_range)[:, None, None]
-            vol_l = jnp.where(pad, jnp.inf, vol_l)
-            vol_r = jnp.where(pad, jnp.inf, vol_r)
-            return {
-                "disp_left": wta_sharded(vol_l, disp_axis, "min"),
-                "disp_right": wta_sharded(vol_r, disp_axis, "min"),
-            }
+            pad = ((d_off + jnp.arange(d_local)) >= disp_range)[:, None, None]
+            return body(le, re, ro_ext, h, d_off, pad)
 
         sharded = jax.shard_map(
             tile_fn,
@@ -440,9 +406,67 @@ def ad_census_tile_disp(
             out_specs=P(tile_axis, None),
             check_vma=False,
         )
-        tiles = sharded(lp, rp)
-        disp_l = tiles["disp_left"][:h]
-        disp_r = tiles["disp_right"][:h]
+        return {k: v[:h] for k, v in sharded(lp, rp).items()}
+
+    return run_maps, d_local
+
+
+def ad_census_tile_disp(
+    cfg: _cfg.ADCensusConfig, mesh: Mesh, tile_axis: str = "tile", disp_axis: str = "disp"
+):
+    """AD-Census over a 2-D mesh: rows sharded over ``tile_axis`` (halo
+    exchange) and the disparity range sharded over ``disp_axis`` (each
+    device builds its d-slice of the fused volume via the clamped-column
+    gather, aggregates it independently — rectangle means are per-d-slice —
+    and WTA combines with a two-stage `pmin`, `parallel.wta_shard`).
+
+    Scanline optimization couples d±1 and is not supported with a sharded
+    disparity axis; keep ``cfg.scanline=None`` here or use
+    :func:`tiled_pipeline` with a 1-D mesh.
+    """
+    if cfg.scanline is not None:
+        raise NotImplementedError(
+            "ad_census_tile_disp does not implement scanline optimization "
+            "(the SGM recurrence couples d±1 across the sharded axis); use "
+            "tiled_pipeline with a 1-D tile mesh or gspmd_pipeline"
+        )
+    if cfg.aggregation != "rect_mean":
+        raise NotImplementedError(
+            f"ad_census_tile_disp implements aggregation='rect_mean' only "
+            f"(got {cfg.aggregation!r}); use tiled_pipeline or gspmd_pipeline"
+        )
+    halo = receptive_field_rows("ad_census", cfg)
+
+    def body(le, re, ro_ext, rows, d_off, pad_mask):
+        d_local = pad_mask.shape[0]
+        vol_l = volume.ad_census_volume(
+            le, re, d_local, cfg.sigma_c, cfg.sigma_s,
+            cfg.census_rows, cfg.census_cols, "left", ro_ext, rows, d_offset=d_off,
+        )
+        vol_r = volume.ad_census_volume(
+            le, re, d_local, cfg.sigma_c, cfg.sigma_s,
+            cfg.census_rows, cfg.census_cols, "right", ro_ext, rows, d_offset=d_off,
+        )
+        arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, rows)
+        arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, rows)
+        for _ in range(cfg.agg_iters):
+            vol_l = aggregate.rect_mean_aggregate(vol_l, arms_l, max_span=cfg.arms.max_length)
+            vol_r = aggregate.rect_mean_aggregate(vol_r, arms_r, max_span=cfg.arms.max_length)
+        vol_l = jnp.where(pad_mask, jnp.inf, crop_row_halo(vol_l, halo, 1))
+        vol_r = jnp.where(pad_mask, jnp.inf, crop_row_halo(vol_r, halo, 1))
+        return {
+            "disp_left": wta_sharded(vol_l, disp_axis, "min"),
+            "disp_right": wta_sharded(vol_r, disp_axis, "min"),
+        }
+
+    run_maps, _ = _tile_disp_driver(
+        mesh, tile_axis, disp_axis, halo, cfg.disp_range, body
+    )
+
+    def run(left, right):
+        tiles = run_maps(left, right)
+        disp_l = tiles["disp_left"]
+        disp_r = tiles["disp_right"]
         disp_final = occl = mism = None
         if cfg.run_post:
             disp_final, occl, mism = ad_census_post(disp_l, disp_r, cfg)
@@ -466,45 +490,22 @@ def ncc_tile_disp(
     """
     _check_tiled_support("ncc", cfg)  # e.g. variant='shifted' has no tile core
     halo = receptive_field_rows("ncc", cfg)
-    n_t = mesh.shape[tile_axis]
-    n_d = mesh.shape[disp_axis]
-    if n_d > cfg.disp_range:
-        raise ValueError(f"disp axis ({n_d}) larger than disp_range ({cfg.disp_range})")
-    d_local = -(-cfg.disp_range // n_d)
+
+    def body(le, re, ro_ext, rows, d_off, pad_mask):
+        vol, interior = volume.ncc_volume(
+            le, re, pad_mask.shape[0], cfg.win_size, cfg.invalid_mode, cfg.eps,
+            row_offset=ro_ext, global_rows=rows, d_offset=d_off,
+        )
+        vol = jnp.where(pad_mask, -jnp.inf, crop_row_halo(vol, halo, 1))
+        interior = crop_row_halo(interior, halo, 0)
+        disp = wta_sharded(vol, disp_axis, "max")
+        return {"disp_left": jnp.where(interior, disp, 0.0)}
+
+    run_maps, _ = _tile_disp_driver(
+        mesh, tile_axis, disp_axis, halo, cfg.disp_range, body
+    )
 
     def run(left, right):
-        h, w = left.shape
-        h_pad = -(-h // n_t) * n_t
-        t = h_pad // n_t
-        lp = jnp.pad(left, ((0, h_pad - h), (0, 0)), mode="edge")
-        rp = jnp.pad(right, ((0, h_pad - h), (0, 0)), mode="edge")
-
-        def tile_fn(lt, rt):
-            idx_t = lax.axis_index(tile_axis)
-            idx_d = lax.axis_index(disp_axis)
-            ro_ext = idx_t * t - halo
-            d_off = idx_d * d_local
-            le = add_row_halo(lt, halo, tile_axis)
-            re = add_row_halo(rt, halo, tile_axis)
-            vol, interior = volume.ncc_volume(
-                le, re, d_local, cfg.win_size, cfg.invalid_mode, cfg.eps,
-                row_offset=ro_ext, global_rows=h, d_offset=d_off,
-            )
-            vol = crop_row_halo(vol, halo, 1)
-            interior = crop_row_halo(interior, halo, 0)
-            pad = ((d_off + jnp.arange(d_local)) >= cfg.disp_range)[:, None, None]
-            vol = jnp.where(pad, -jnp.inf, vol)
-            disp = wta_sharded(vol, disp_axis, "max")
-            return jnp.where(interior, disp, 0.0)
-
-        sharded = jax.shard_map(
-            tile_fn,
-            mesh=mesh,
-            in_specs=(P(tile_axis, None), P(tile_axis, None)),
-            out_specs=P(tile_axis, None),
-            check_vma=False,
-        )
-        disp = sharded(lp, rp)[:h]
-        return StereoResult(disp)
+        return StereoResult(run_maps(left, right)["disp_left"])
 
     return run

@@ -26,6 +26,10 @@ def wta_sharded(
     (argmax for ``mode='max'``, the NCC similarity case `NCC/NCC.h:53-67`)
     as float32 [H, W], replicated across the axis.
     """
+    if mode not in ("min", "max"):
+        # ops.wta.wta defaults unknown strings the *other* way (to max);
+        # a typo must not silently invert the winner vs the unsharded run
+        raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
     idx = lax.axis_index(axis_name)
     d_local = vol_local.shape[0]
     v = -vol_local if mode == "max" else vol_local
@@ -55,14 +59,22 @@ def optimal_disparity_sharded(
     ``pmin`` for the global second-minimum (minimum over costs != best), and
     owner-masked ``pmin`` selects for the parabola d±1 costs, so the result
     is bit-identical to the unsharded op.
+
+    ``disp_range``: the true disparity count when it does not divide the
+    mesh axis — the trailing padded slots (global d >= disp_range) are
+    masked to +inf here regardless of what the caller padded them with, so
+    they can neither win the argmin nor leak into secmin/parabola costs.
     """
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     d_local = vol_local.shape[0]
     d_total = disp_range if disp_range is not None else d_local * n
 
-    # global argmin with lowest-d tie-breaking, excluding global d=0 if asked
     ds = jnp.arange(d_local)[:, None, None] + idx * d_local
+    if d_total < d_local * n:
+        vol_local = jnp.where(ds >= d_total, jnp.inf, vol_local)
+
+    # global argmin with lowest-d tie-breaking, excluding global d=0 if asked
     v = jnp.where(ds == 0, jnp.inf, vol_local) if exclude_d0 else vol_local
     local_best = jnp.argmin(v, axis=0)
     local_val = jnp.min(v, axis=0)

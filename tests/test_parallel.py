@@ -119,6 +119,45 @@ def test_optimal_disparity_sharded_matches():
     np.testing.assert_array_equal(np.asarray(fn(vol)), want)
 
 
+def test_optimal_disparity_sharded_masks_pad_garbage():
+    # disp_range=13 over 8 devices: d_local=2, 3 padded slots that the
+    # caller filled with 0.0 (cheaper than every real cost).  The op must
+    # mask them itself — a pad winning the argmin would emit an
+    # out-of-range disparity that escapes the border reject checks.
+    rng = np.random.default_rng(5)
+    vol = (rng.random((16, 7, 9)) * 100 + 10).astype(np.float32)
+    vol[13:] = 0.0  # pad garbage
+    want = np.asarray(
+        wta.optimal_disparity(jnp.asarray(vol[:13]), 0.01, False)
+    )
+    mesh = make_mesh(8, ("disp",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda v: optimal_disparity_sharded(v, "disp", 0.01, False, disp_range=13),
+            mesh=mesh,
+            in_specs=P("disp", None, None),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(fn(vol)), want)
+
+
+def test_wta_sharded_rejects_unknown_mode():
+    # ops.wta.wta defaults unknown strings to max while wta_sharded
+    # defaulted them to min — a typo silently inverted the winner between
+    # sharded and unsharded runs; now it raises.
+    with pytest.raises(ValueError, match="mode"):
+        wta_sharded(jnp.zeros((2, 3, 4)), "disp", "Max")
+
+
+def test_ad_census_tile_disp_rejects_scanline():
+    mesh = make_mesh(8, ("tile", "disp"), (4, 2))
+    cfg = cfgs.ADCensusConfig(scanline=cfgs.ScanlineConfig())
+    with pytest.raises(NotImplementedError, match="scanline"):
+        ad_census_tile_disp(cfg, mesh)
+
+
 def test_scanline_sharded_matches_unsharded():
     from stereo_match_traditional_tpu.ops.scanline import scanline_optimize
 
