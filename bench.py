@@ -11,7 +11,7 @@ re-implementation of the same path with the reference's per-pixel loop
 structure (`native/cpu_baseline/ad_census_baseline.cpp`) — the reference
 itself publishes no numbers (BASELINE.md).
 
-Usage: python bench.py [--pipeline ad_census] [--iters 20]
+Usage: python bench.py [--pipeline ad_census] [--iters 12] [--cpu]
 """
 
 import argparse
@@ -28,7 +28,15 @@ sys.path.insert(0, _REPO)
 _RECORDED_CPU_BASELINE = 4.554  # MPixDisp/s
 
 
-def _cpu_baseline() -> float:
+def _cpu_baseline(rows: int, cols: int, disp: int):
+    """CPU-reference MPixDisp/s for the *same* workload shape, or None.
+
+    The baseline binary accepts [rows cols disp]; always pass them so
+    ``vs_baseline`` never compares a non-default TPU workload against the
+    binary's built-in 375x450x60 defaults (per-pixel census/arm costs are
+    not disp-invariant).  The recorded constant only stands in for the
+    default shape when the binary cannot be built/run here.
+    """
     exe = os.path.join(_REPO, "native", "cpu_baseline", "ad_census_baseline")
     src = exe + ".cpp"
     try:
@@ -39,18 +47,28 @@ def _cpu_baseline() -> float:
             )
         if os.path.exists(exe):
             out = subprocess.run(
-                [exe], check=True, capture_output=True, text=True, timeout=300
+                [exe, str(rows), str(cols), str(disp)],
+                check=True, capture_output=True, text=True, timeout=300,
             ).stdout
             return float(json.loads(out.strip().splitlines()[-1])["value"])
     except Exception:
         pass
-    return _RECORDED_CPU_BASELINE
+    return _RECORDED_CPU_BASELINE if (rows, cols, disp) == (375, 450, 60) else None
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline", default="ad_census")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument(
+        "--iters", type=int, default=12,
+        help="on-device loop count for the high-N timing program "
+        "(utils.benchmark.device_time n_hi; raise for steadier numbers)",
+    )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (applied via jax.config — an env "
+        "override cannot work under this container's sitecustomize)",
+    )
     ap.add_argument("--rows", type=int, default=375)
     ap.add_argument("--cols", type=int, default=450)
     ap.add_argument("--disp", type=int, default=60)
@@ -63,6 +81,8 @@ def main() -> None:
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:  # persistent compile cache: repeated driver runs skip the ~2 min
         # remote compile of the looped benchmark programs
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -73,12 +93,10 @@ def main() -> None:
     from stereo_match_traditional_tpu.models import get_pipeline
     from stereo_match_traditional_tpu.utils.synthetic import make_pair
 
+    from stereo_match_traditional_tpu.config import disp_override_kw
+
     pipeline, cfg_cls = get_pipeline(args.pipeline)
-    kw = {}
-    for field, val in (("disp_range", args.disp), ("max_disparity", args.disp)):
-        if field in cfg_cls.__dataclass_fields__:
-            kw[field] = val
-    cfg = cfg_cls(**kw)
+    cfg = cfg_cls(**disp_override_kw(cfg_cls, args.disp))
 
     left, right, _ = make_pair(args.rows, args.cols, args.disp, seed=0)
     left = jnp.asarray(left)
@@ -101,9 +119,15 @@ def main() -> None:
                 total = total + jnp.sum(f.astype(jnp.float32))
         return total
 
-    sec = device_time(lambda l, r: checksum(pipeline(l, r, cfg)), (left, right))
+    sec = device_time(
+        lambda l, r: checksum(pipeline(l, r, cfg)), (left, right),
+        n_hi=max(args.iters, 3),
+    )
     mpixdisp = args.rows * args.cols * args.disp / sec / 1e6
-    baseline = _cpu_baseline() if args.pipeline == "ad_census" else None
+    baseline = (
+        _cpu_baseline(args.rows, args.cols, args.disp)
+        if args.pipeline == "ad_census" else None
+    )
     result = {
         "metric": f"{args.pipeline}_throughput",
         "value": round(mpixdisp, 2),
@@ -118,7 +142,8 @@ def main() -> None:
         mesh = make_mesh(n, ("tile",))
         sharded = jax.jit(tiled_pipeline(args.pipeline, cfg, mesh))
         sec_n = device_time(
-            lambda l, r: checksum(sharded(l, r)), (left, right)
+            lambda l, r: checksum(sharded(l, r)), (left, right),
+            n_hi=max(args.iters, 3),
         )
         result["devices"] = n
         result["sharded_value"] = round(

@@ -43,13 +43,11 @@ def main():
     io_utils.imwrite(os.path.join(args.out_dir, "right.png"), right)
 
     print(f"{'pipeline':12s} {'bad-2.0':>8s}")
+    from stereo_match_traditional_tpu.config import disp_override_kw
+
     for name in sorted(PIPELINES):
         fn, cfg_cls = get_pipeline(name)
-        kw = {}
-        for field in ("disp_range", "max_disparity"):
-            if field in cfg_cls.__dataclass_fields__:
-                kw[field] = args.disp
-        cfg = cfg_cls(**kw)
+        cfg = cfg_cls(**disp_override_kw(cfg_cls, args.disp))
         res = jax.jit(lambda l, r: fn(l, r, cfg))(jnp.asarray(left), jnp.asarray(right))
         disp = np.asarray(res.disp_left)
         print(f"{name:12s} {bad_pixel_rate(disp, gt):8.3f}")

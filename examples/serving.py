@@ -46,30 +46,36 @@ def main():
     h, w = (int(x) for x in args.size.split("x"))
     os.makedirs(args.out_dir, exist_ok=True)
 
-    # 1) stage a request set on disk (PGM: what the native codec decodes)
+    # 1) stage a request set on disk; decide the decode path up front —
+    #    staging must use a writer that exists (native.write_pnm raises
+    #    when the lib cannot be built, so it can't gate the fallback)
+    use_native = native.available()
+    ext = "pgm" if use_native else "png"
     paths = []
     for i in range(args.pairs):
         L, R, _ = make_pair(h, w, args.disp, seed=i)
-        lp = os.path.join(args.out_dir, f"pair{i:03d}_l.pgm")
-        rp = os.path.join(args.out_dir, f"pair{i:03d}_r.pgm")
-        native.write_pnm(lp, L)
-        native.write_pnm(rp, R)
+        lp = os.path.join(args.out_dir, f"pair{i:03d}_l.{ext}")
+        rp = os.path.join(args.out_dir, f"pair{i:03d}_r.{ext}")
+        if use_native:
+            native.write_pnm(lp, L)
+            native.write_pnm(rp, R)
+        else:
+            io_utils.imwrite(lp, L)
+            io_utils.imwrite(rp, R)
         paths.append((lp, rp))
 
     # 2) decode on native threads, overlap with device compute
-    try:
+    if use_native:
         feed = native.PairLoader(paths, threads=4)
         src = "native threaded loader"
-    except Exception:  # native lib not built: plain host decode
+    else:  # native lib not built: plain host decode
         feed = ((io_utils.imread(l), io_utils.imread(r)) for l, r in paths)
         src = "imageio fallback"
 
+    from stereo_match_traditional_tpu.config import disp_override_kw
+
     _, cfg_cls = get_pipeline(args.pipeline)
-    kw = {}
-    for field in ("disp_range", "max_disparity"):
-        if field in cfg_cls.__dataclass_fields__:
-            kw[field] = args.disp
-    cfg = cfg_cls(**kw)
+    cfg = cfg_cls(**disp_override_kw(cfg_cls, args.disp))
 
     t0 = time.time()
     n = 0

@@ -264,12 +264,22 @@ int smt_loader_next(void* handle, uint8_t* left, uint8_t* right,
            (L->next_emit >= (int64_t)L->items.size() && L->ready.empty());
   });
   if (L->ready.empty()) return 1;  // exhausted
+  {
+    // Capacity check BEFORE popping: an oversized pair stays queued so the
+    // caller can retry with a bigger buffer instead of silently losing it
+    // from the stream; *h/*w report the required geometry.  (Decode-error
+    // pairs are popped below — the error is per-pair and final.)
+    const Pair& front = L->ready.front();
+    if (front.status == 0 && (int64_t)front.h * front.w > buf_size) {
+      *h = front.h; *w = front.w;
+      return -3;
+    }
+  }
   Pair p = std::move(L->ready.front());
   L->ready.pop();
   L->cv_space.notify_all();
   if (p.status != 0) return p.status;
   int64_t need = (int64_t)p.h * p.w;
-  if (need > buf_size) return -3;
   std::memcpy(left, p.left.data(), need);
   std::memcpy(right, p.right.data(), need);
   *h = p.h; *w = p.w;

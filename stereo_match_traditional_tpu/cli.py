@@ -24,7 +24,7 @@ import time
 import typing
 
 
-def _coerce(val: str, typ):
+def _coerce(key: str, val: str, typ):
     """Coerce a ``--set`` string to the field's *resolved* type.  Optional
     is unwrapped; bool is dispatched before int (bool is an int subclass,
     and ``--set run_post=1`` must become True, not the int 1)."""
@@ -39,12 +39,20 @@ def _coerce(val: str, typ):
             return True
         if val.lower() in ("false", "0", "no", "off"):
             return False
-        raise SystemExit(f"expected a bool, got {val!r}")
+        raise SystemExit(f"--set {key}: expected a bool, got {val!r}")
     if typ is int:
         return int(val)
     if typ is float:
         return float(val)
-    return val
+    if typ is str:
+        return val
+    # nested config dataclasses etc. — passing the raw string through
+    # would surface later as an opaque AttributeError inside jit tracing
+    raise SystemExit(
+        f"--set {key}: field type {getattr(typ, '__name__', typ)!r} cannot "
+        "be parsed from the command line (only str/int/float/bool and "
+        "'none' for Optional fields); construct nested configs in Python"
+    )
 
 
 def _parse_set(cfg_cls, overrides):
@@ -60,7 +68,7 @@ def _parse_set(cfg_cls, overrides):
                 f"unknown config field {key!r} for {cfg_cls.__name__}; "
                 f"have {sorted(fields)}"
             )
-        kw[key] = _coerce(val, hints.get(key, str))
+        kw[key] = _coerce(key, val, hints.get(key, str))
     return kw
 
 
@@ -89,12 +97,12 @@ def cmd_run(args) -> int:
     from stereo_match_traditional_tpu.utils import io as io_utils
     from stereo_match_traditional_tpu.utils.profiling import StageTimer
 
+    from stereo_match_traditional_tpu.config import disp_override_kw
+
     pipeline, cfg_cls = get_pipeline(args.pipeline)
     kw = _parse_set(cfg_cls, args.set)
-    if args.disp_range is not None:
-        for field in ("disp_range", "max_disparity"):
-            if field in {f.name for f in dataclasses.fields(cfg_cls)}:
-                kw.setdefault(field, args.disp_range)
+    for field, val in disp_override_kw(cfg_cls, args.disp_range).items():
+        kw.setdefault(field, val)  # an explicit --set wins
     cfg = cfg_cls(**kw)
 
     left, right, gt = _load_pair(args)
@@ -155,12 +163,14 @@ def cmd_run(args) -> int:
         io_utils.imwrite(args.out, io_utils.normalize_u8(disp))
         print(f"disparity -> {args.out}", file=sys.stderr)
 
+    finite = np.isfinite(disp)
     summary = {
         "pipeline": args.pipeline,
         "shape": list(disp.shape),
-        "finite_fraction": float(np.isfinite(disp).mean()),
-        "disp_min": float(np.nanmin(np.where(np.isfinite(disp), disp, np.nan))),
-        "disp_max": float(np.nanmax(np.where(np.isfinite(disp), disp, np.nan))),
+        "finite_fraction": float(finite.mean()),
+        # null (not NaN — bare NaN is invalid JSON) when nothing is finite
+        "disp_min": float(disp[finite].min()) if finite.any() else None,
+        "disp_max": float(disp[finite].max()) if finite.any() else None,
     }
     if gt is not None:
         from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
@@ -192,6 +202,11 @@ def cmd_bench(args) -> int:
     if not os.path.exists(bench):
         raise SystemExit(f"bench harness not found at {bench}")
     cmd = [sys.executable, bench, "--pipeline", args.pipeline]
+    if args.cpu:
+        # an env override cannot work here (this container's sitecustomize
+        # imports jax at interpreter startup with its own JAX_PLATFORMS);
+        # bench.py applies the flag via jax.config before any backend use
+        cmd.append("--cpu")
     return subprocess.call(cmd)
 
 

@@ -229,3 +229,20 @@ class CBLSMConfig:
 #: Reference-driver Teddy image geometry (Middlebury quarter size,
 #: `SAD/SADmain.cpp:27-28` et al.): 450 wide x 375 tall.
 TEDDY_SHAPE: Tuple[int, int] = (375, 450)
+
+
+def disp_override_kw(cfg_cls, disp):
+    """kwargs overriding the disparity-range field of ``cfg_cls``.
+
+    The field name varies per pipeline (``disp_range`` everywhere except
+    SAD's ``max_disparity``, `SAD/SADmain.cpp:33`); every CLI/bench/demo
+    entry point shares this probe instead of re-implementing it.  Returns
+    ``{}`` when ``disp`` is None.
+    """
+    if disp is None:
+        return {}
+    return {
+        f: disp
+        for f in ("disp_range", "max_disparity")
+        if f in cfg_cls.__dataclass_fields__
+    }

@@ -220,6 +220,16 @@ class PairLoader:
             self._handle, _u8p(self._buf_l), _u8p(self._buf_r),
             self._buf_l.size, ctypes.byref(h), ctypes.byref(w),
         )
+        if rc == -3:
+            # oversized pair: it stays queued on the C side and *h/*w carry
+            # the required geometry — grow the buffers and retry once
+            need = h.value * w.value
+            self._buf_l = np.empty(need, np.uint8)
+            self._buf_r = np.empty(need, np.uint8)
+            rc = self._lib.smt_loader_next(
+                self._handle, _u8p(self._buf_l), _u8p(self._buf_r),
+                self._buf_l.size, ctypes.byref(h), ctypes.byref(w),
+            )
         if rc == 1:
             self.close()
             raise StopIteration

@@ -96,3 +96,23 @@ def test_pair_loader_color_gray_conversion(tmp_path):
     want = io_utils.rgb_to_gray_u8(color)
     assert np.abs(gl.astype(int) - want.astype(int)).max() <= 1
     loader.close()
+
+
+def test_pair_loader_grows_buffer_for_oversized_pair(tmp_path):
+    """An image larger than max_bytes must not be dropped from the stream:
+    the C side keeps it queued on -3 and reports the needed geometry, and
+    the Python side regrows its buffers and retries."""
+    big = rng.integers(0, 256, (40, 50), dtype=np.uint8)
+    small = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    pairs = []
+    for k, img in enumerate((big, small)):
+        lp = str(tmp_path / f"ol{k}.pgm")
+        rp = str(tmp_path / f"or{k}.pgm")
+        native.write_pnm(lp, img)
+        native.write_pnm(rp, img)
+        pairs.append((lp, rp))
+    loader = native.PairLoader(pairs, threads=1, max_bytes=small.size)
+    out = list(loader)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0][0], big)
+    np.testing.assert_array_equal(out[1][0], small)
