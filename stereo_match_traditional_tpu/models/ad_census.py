@@ -4,7 +4,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 
 from stereo_match_traditional_tpu.config import ADCensusConfig
 from stereo_match_traditional_tpu.models.base import StereoResult

@@ -47,26 +47,29 @@ def cblsm_pipeline(
             vol_r = volume.ad_volume(left, right, d, "right")
     elif cfg.cost == "sad_mean":
         # dormant ComputeDispLeft/Right (`CBLSM.h:409-489`): mean SAD window
-        vol_l = volume.sad_volume(left, right, d, cfg.win_size, "left", mean=True)
-        vol_r = volume.sad_volume(left, right, d, cfg.win_size, "right", mean=True)
+        with stage_scope("cost_volume"):
+            vol_l = volume.sad_volume(left, right, d, cfg.win_size, "left", mean=True)
+            vol_r = volume.sad_volume(left, right, d, cfg.win_size, "right", mean=True)
     elif cfg.cost == "sad_mean_v4":
         # dormant ComputeDispV4 (`CBLSM.h:494-532`): min-channel color SAD;
         # inputs must be [H, W, 3]
-        vol_l = volume.sad_volume(
-            left, right, d, cfg.win_size, "left", mean=True, channel_min=True
-        )
-        vol_r = volume.sad_volume(
-            left, right, d, cfg.win_size, "right", mean=True, channel_min=True
-        )
+        with stage_scope("cost_volume"):
+            vol_l = volume.sad_volume(
+                left, right, d, cfg.win_size, "left", mean=True, channel_min=True
+            )
+            vol_r = volume.sad_volume(
+                left, right, d, cfg.win_size, "right", mean=True, channel_min=True
+            )
     elif cfg.cost == "local_mean":
         # dormant on-the-fly aggregated cost (`CBLSM.h:969-1085`)
-        vol_l = aggregate.local_mean_cost(left, right, arms_l, arms_r, d)
-        vol_r = aggregate.local_mean_cost(
-            right[:, ::-1], left[:, ::-1],
-            aggregate.cross_arms(right[:, ::-1], cfg.arms),
-            aggregate.cross_arms(left[:, ::-1], cfg.arms),
-            d,
-        )[:, :, ::-1]
+        with stage_scope("cost_volume"):
+            vol_l = aggregate.local_mean_cost(left, right, arms_l, arms_r, d)
+            vol_r = aggregate.local_mean_cost(
+                right[:, ::-1], left[:, ::-1],
+                aggregate.cross_arms(right[:, ::-1], cfg.arms),
+                aggregate.cross_arms(left[:, ::-1], cfg.arms),
+                d,
+            )[:, :, ::-1]
     else:
         raise ValueError(
             f"unknown cost {cfg.cost!r}; expected 'ad', 'sad_mean', "
@@ -93,17 +96,19 @@ def cblsm_pipeline(
     elif cfg.aggregation == "rect_mean_v4":
         # dormant disparity-conditioned support (`CBLSM.cpp:108-111` +
         # `costAggregationV4`, `CBLSM.h:1128-1176`)
-        vl, vr, vu, vd = aggregate.cblsm_arm_volumes(
-            arms_l, arms_r, d, max_steps=cfg.arms.max_length
-        )
-        agg_l = aggregate.rect_mean_aggregate_volume(vol_l, vl, vr, vu, vd)
-        agg_r = aggregate.rect_mean_aggregate_volume(vol_r, vl, vr, vu, vd)
+        with stage_scope("aggregate"):
+            vl, vr, vu, vd = aggregate.cblsm_arm_volumes(
+                arms_l, arms_r, d, max_steps=cfg.arms.max_length
+            )
+            agg_l = aggregate.rect_mean_aggregate_volume(vol_l, vl, vr, vu, vd)
+            agg_r = aggregate.rect_mean_aggregate_volume(vol_r, vl, vr, vu, vd)
     elif cfg.aggregation == "cross_two_pass":
         # the vendored CrossAggregator path (`CBLSM.cpp:138-143`, commented)
-        c_arms_l = aggregate.canonical_cross_arms(left, cfg.cross_params)
-        c_arms_r = aggregate.canonical_cross_arms(right, cfg.cross_params)
-        agg_l = aggregate.cross_aggregate(vol_l, c_arms_l, cfg.cross_params.num_iters)
-        agg_r = aggregate.cross_aggregate(vol_r, c_arms_r, cfg.cross_params.num_iters)
+        with stage_scope("aggregate"):
+            c_arms_l = aggregate.canonical_cross_arms(left, cfg.cross_params)
+            c_arms_r = aggregate.canonical_cross_arms(right, cfg.cross_params)
+            agg_l = aggregate.cross_aggregate(vol_l, c_arms_l, cfg.cross_params.num_iters)
+            agg_r = aggregate.cross_aggregate(vol_r, c_arms_r, cfg.cross_params.num_iters)
     elif cfg.aggregation == "none":
         agg_l, agg_r = vol_l, vol_r
     else:

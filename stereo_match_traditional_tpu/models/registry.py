@@ -70,6 +70,12 @@ def finish_from_volumes(name: str, vol_l, vol_r, cfg):
         disp = jnp.where(interior, wta.wta(vol_l, "max"), 0.0)
         return StereoResult(disp)
     # asw / ad_census / cblsm: plain dual WTA + their post chains
+    if vol_r is None:
+        raise ValueError(
+            f"finish_from_volumes({name!r}) needs both views' volumes "
+            "(the reference driver computes left AND right maps); only "
+            "'sad'/'ncc' re-enter from a left volume alone"
+        )
     disp_l = wta.wta(vol_l, "min")
     disp_r = wta.wta(vol_r, "min")
     if name == "asw":

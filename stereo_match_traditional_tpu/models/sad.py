@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from stereo_match_traditional_tpu.config import SADConfig
 from stereo_match_traditional_tpu.models.base import StereoResult

@@ -33,9 +33,16 @@ def make_mesh(
     """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is None:
-        n_devices = len(devs)
+        # with an explicit shape, take exactly prod(shape) devices — using
+        # every device would make the reshape below fail whenever more are
+        # available than the mesh needs
+        n_devices = int(np.prod(shape)) if shape is not None else len(devs)
+    if n_devices > len(devs):
+        raise ValueError(f"need {n_devices} devices, have {len(devs)}")
     devs = devs[:n_devices]
     if shape is None:
         shape = (n_devices,)
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError(f"shape {tuple(shape)} does not use {n_devices} devices")
     arr = np.array(devs).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))

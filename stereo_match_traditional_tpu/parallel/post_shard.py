@@ -14,9 +14,12 @@ the whole chain inside `shard_map`:
   spanning k tiles converges in <= k exchanges; convergence is detected
   with a `psum` of the change flags.  Component areas are global
   histograms combined with `psum`.
-* Hole filling / median run on a `max_search`-row halo with rows beyond
-  the global image masked invalid, so ray and truncate-border semantics
-  match the untiled run exactly.
+* Hole filling chains three passes, each reading the previous pass's
+  fills up to ``max_search-1`` rows away — every pass runs on its own
+  fresh ``(max_search-1)``-row halo with the exact interior re-exchanged
+  between passes (`fill_holes_8dir_sharded`), with rows beyond the global
+  image masked invalid, so ray and border semantics match the untiled
+  run exactly.  Medians run on a radius halo the same way.
 """
 
 from __future__ import annotations
@@ -59,6 +62,7 @@ def remove_speckles_sharded(
     background: Optional[float] = None,
     max_iters: Optional[int] = None,
     connectivity: int = 8,
+    plain_sweeps: int = 24,
 ) -> jax.Array:
     """Exact sharded `ops.post.remove_speckles` for a [T, W] row tile
     inside `shard_map`.
@@ -67,16 +71,20 @@ def remove_speckles_sharded(
     rows at or beyond ``global_rows`` (the bottom tile's padding) are
     treated as invalid so padded runs can't glue components together.
 
-    Labels are *global* flat indices but each device only holds its tile,
-    so the unsharded path's pointer-jump shortcut is unavailable here;
-    ``max_iters=None`` derives a run-path cap of ``global_rows + w``
-    instead (sound for serpentine/spiral components whose runs scale with
-    the image dims; the loop exits at the fixpoint far earlier on real
-    maps).
+    Labels are *global* flat indices.  Like the unsharded op, plain
+    sweeping alone is unsound — a component whose min-label path crosses
+    many run junctions (serpentine/staircase shapes) needs a sweep per
+    junction, far beyond any fixed cap — so after 24 plain sweeps (real
+    maps converge in <=20) a second phase adds a pointer jump
+    (``label <- label[label]``) per sweep, resolving chains through an
+    `all_gather` of the interior labels (1.5 MB at 720p); chain depth at
+    least halves per jump, so ``max_iters=None`` derives a sound
+    O(log(H*W)) phase-2 cap.
     """
     t, w = disp.shape
+    plain_iters = plain_sweeps
     if max_iters is None:
-        max_iters = global_rows + w + 8
+        max_iters = plain_iters + 16 + 4 * max(1, (global_rows * w - 1).bit_length())
     d = disp.astype(jnp.float32)
     row_ids = row_offset + jnp.arange(t, dtype=jnp.int32)
     in_image = (row_ids < global_rows)[:, None]
@@ -97,22 +105,44 @@ def remove_speckles_sharded(
 
     sweep = _speckle_sweep_fn(d_ext, v_ext, diff_insame, connectivity, big)
 
-    def step(state):
-        labels, _, it = state
+    def _sweep_merge(labels):
         new = sweep(labels)
         # min-merge halo rows with the neighbors' freshly propagated
         # versions of the same global rows
         top = jnp.minimum(new[:1], _edge_from_prev(new[t : t + 1], axis_name, big))
         bot = jnp.minimum(new[t + 1 :], _edge_from_next(new[1:2], axis_name, big))
-        new = jnp.concatenate([top, new[1 : t + 1], bot], axis=0)
+        return jnp.concatenate([top, new[1 : t + 1], bot], axis=0)
+
+    def step(state):
+        labels, _, it = state
+        new = _sweep_merge(labels)
         changed = lax.psum(jnp.any(new != labels).astype(jnp.int32), axis_name)
         return new, changed > 0, it + 1
 
-    def cond(state):
-        return state[1] & (state[2] < max_iters)
+    def step_jump(state):
+        labels, _, it = state
+        new = _sweep_merge(labels)
+        # pointer jump through the global label table: label[p] names a
+        # pixel of p's own component (induction over sweeps), so following
+        # it stays in-component and only decreases labels.  The interior
+        # tiles concatenate in row order, so position r*w+c of the gather
+        # IS global flat id r*w+c; ids >= big (bottom padding) never occur
+        # as labels and the `big` sentinel maps to itself via the append.
+        full = lax.all_gather(new[1 : t + 1], axis_name, axis=0, tiled=True)
+        flat = jnp.concatenate([full.reshape(-1)[: global_rows * w], big[None]])
+        new = jnp.minimum(new, flat[jnp.minimum(new, big)])
+        changed = lax.psum(jnp.any(new != labels).astype(jnp.int32), axis_name)
+        return new, changed > 0, it + 1
 
+    # Phase 1: plain sweeps (no gather cost; real maps converge here).
+    labels_ext, chg, it = lax.while_loop(
+        lambda s: s[1] & (s[2] < min(plain_iters, max_iters)),
+        step, (labels0, jnp.bool_(True), jnp.int32(0)),
+    )
+    # Phase 2: sweep + jump until the fixpoint (sound O(log) cap).
     labels_ext, _, _ = lax.while_loop(
-        cond, step, (labels0, jnp.bool_(True), jnp.int32(0))
+        lambda s: s[1] & (s[2] < max_iters),
+        step_jump, (labels_ext, chg, it),
     )
     labels = labels_ext[1 : t + 1]
 
@@ -137,6 +167,64 @@ def _mask_outside_rows(x, row_offset, global_rows, fill):
     return jnp.where(ok, x, jnp.asarray(fill, x.dtype))
 
 
+def fill_holes_8dir_sharded(
+    disp: jax.Array,
+    occlusion: jax.Array,
+    mismatch: jax.Array,
+    axis_name: str,
+    row_offset,
+    global_rows: int,
+    invalid_value: float = INVALID,
+    max_search: int = None,
+) -> jax.Array:
+    """Exact sharded `ops.post.fill_holes_8dir` on [T, W] row tiles.
+
+    Each of the three passes reads the *previous pass's* fills up to
+    ``max_search - 1`` rows away, so the reach compounds across passes — a
+    single up-front halo would need ``3*(max_search-1)`` rows to stay
+    exact.  Instead every pass runs on a fresh ``(max_search-1)``-row halo
+    and only the exact interior is kept and re-exchanged, so each pass's
+    inputs are bit-identical to the untiled run's.  ``max_search=None``
+    (the SAD chain's unbounded rays, `Sad.h:365`) has no halo'd form —
+    use the gathered path.
+    """
+    if max_search is None:
+        raise NotImplementedError(
+            "unbounded hole-fill rays (max_search=None) have no exact "
+            "row-halo'd form; run the gathered post chain instead"
+        )
+    from stereo_match_traditional_tpu.parallel.halo import add_row_halo
+
+    t = disp.shape[0]
+    max_axis = max(max_search - 1, 0)
+    max_diag = int(round(max_axis * 0.70710678))
+    halo = max_axis
+    ro_ext = row_offset - halo
+
+    d = jnp.where(disp == invalid_value, jnp.inf, disp.astype(jnp.float32))
+    # (target mask, second_smallest): occlusions take the 2nd-smallest ray
+    # candidate, mismatches the median, then remaining invalids the median
+    # (`PostProcessing.h:172-190`)
+    passes = [(occlusion, True), (mismatch, False), (None, False)]
+    for tgt, second in passes:
+        d_e = add_row_halo(d, halo, axis_name)
+        # halo rows replicated past the global image behave like the
+        # border: invalid, never candidates, never targets
+        d_e = _mask_outside_rows(d_e, ro_ext, global_rows, jnp.inf)
+        if tgt is None:
+            te = ~jnp.isfinite(d_e)
+            te = te & _mask_outside_rows(
+                jnp.ones_like(te), ro_ext, global_rows, False
+            )
+        else:
+            tgt_e = add_row_halo(tgt, halo, axis_name)
+            tgt_e = _mask_outside_rows(tgt_e, ro_ext, global_rows, False)
+            te = tgt_e & ~jnp.isfinite(d_e)
+        d_e = post._fill_from_candidates(d_e, te, second, max_axis, max_diag)
+        d = d_e[halo : halo + t]
+    return jnp.where(jnp.isfinite(d), d, invalid_value)
+
+
 def ad_census_post_sharded(
     disp_l: jax.Array,
     disp_r: jax.Array,
@@ -148,10 +236,11 @@ def ad_census_post_sharded(
     """The full AD-Census dormant post chain (`main.cpp:91-94` semantics as
     `models.ad_census.ad_census_post`) on [T, W] row tiles inside
     `shard_map`: LR consistency (row-local) -> sharded speckle removal ->
-    halo'd 8-direction hole fill -> halo'd truncate-border median."""
+    per-pass-halo'd 8-direction hole fill -> halo'd truncate-border
+    median."""
     from stereo_match_traditional_tpu.parallel.halo import add_row_halo
 
-    t, w = disp_l.shape
+    t = disp_l.shape[0]
     lr = post.lr_check_consistency(
         disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
     )
@@ -159,22 +248,14 @@ def ad_census_post_sharded(
         lr.disp, cfg.speckle_diff, cfg.speckle_area, axis_name,
         row_offset, global_rows, invalid_value=post.INVALID,
     )
-
-    # Hole fill rays reach <= max_search rows; +radius for the median.
-    halo = cfg.disp_range + cfg.median_size // 2
+    d = fill_holes_8dir_sharded(
+        d, lr.occlusion, lr.mismatch, axis_name, row_offset, global_rows,
+        invalid_value=post.INVALID, max_search=cfg.disp_range,
+    )
+    halo = cfg.median_size // 2
     ro_ext = row_offset - halo
     d_e = add_row_halo(d, halo, axis_name)
-    occ_e = add_row_halo(lr.occlusion, halo, axis_name)
-    mis_e = add_row_halo(lr.mismatch, halo, axis_name)
-    # halo rows replicated past the global image must behave like the
-    # border (no candidates, no masks), exactly as the untiled run sees it
     d_e = _mask_outside_rows(d_e, ro_ext, global_rows, post.INVALID)
-    occ_e = _mask_outside_rows(occ_e, ro_ext, global_rows, False)
-    mis_e = _mask_outside_rows(mis_e, ro_ext, global_rows, False)
-
-    d_e = post.fill_holes_8dir(
-        d_e, occ_e, mis_e, post.INVALID, max_search=cfg.disp_range
-    )
     d_e = post.median_filter(
         d_e, cfg.median_size, border="truncate",
         row_offset=ro_ext, global_rows=global_rows,
@@ -193,7 +274,7 @@ def cblsm_post_sharded(
     """`models.cblsm.cblsm_post` (LR -> speckles -> median) sharded."""
     from stereo_match_traditional_tpu.parallel.halo import add_row_halo
 
-    t, w = disp_l.shape
+    t = disp_l.shape[0]
     lr = post.lr_check_consistency(
         disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
     )
@@ -240,7 +321,7 @@ def asw_post_sharded(
     (`Sad.h:365`), so `sad_post` has no exact row-halo'd form and keeps the
     gathered path.
     """
-    t, w = disp_l.shape
+    t = disp_l.shape[0]
     lr = post.lr_check_simple(
         disp_l, disp_r, cfg.lr_gate, invalid_value=0.0, disp_range=cfg.disp_range
     )

@@ -381,3 +381,45 @@ def test_tile_disp_non_divisible_disparity(disp_range):
     np.testing.assert_array_equal(
         np.asarray(ngot.disp_left), np.asarray(nwant.disp_left)
     )
+
+
+def test_gspmd_aux_inputs_lab_variant():
+    """Variants needing extra image inputs (ASW Lab weights,
+    `ASWeight.cpp:33-34`) run under GSPMD by declaring aux_names — the
+    tiled executor rejects them and routes here, so this path must work."""
+    from stereo_match_traditional_tpu.parallel.gspmd import gspmd_pipeline
+
+    rng = np.random.default_rng(9)
+    L, R, _ = make_pair(40, 52, 8, seed=4)
+    lab_l = jnp.asarray(rng.integers(0, 256, (40, 52, 3), dtype=np.uint8))
+    lab_r = jnp.asarray(rng.integers(0, 256, (40, 52, 3), dtype=np.uint8))
+    cfg = cfgs.ASWConfig(disp_range=8, win_size=2, variant="lab")
+    fn, _ = get_pipeline("asw")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg, left_lab=lab_l, right_lab=lab_r)
+    mesh = make_mesh(8, ("tile",))
+    run = gspmd_pipeline(
+        "asw", cfg, mesh, aux_names=("left_lab", "right_lab")
+    )
+    got = run(jnp.asarray(L), jnp.asarray(R), lab_l, lab_r)
+    assert (
+        _mismatch_fraction(got.disp_left, want.disp_left, ignore_cols=8) < 0.01
+    )
+
+
+def test_make_mesh_shape_only():
+    """shape without n_devices takes exactly prod(shape) devices; an
+    impossible shape fails with a clear error, not a numpy reshape crash."""
+    mesh = make_mesh(axis_names=("tile", "disp"), shape=(2, 2))
+    assert mesh.shape == {"tile": 2, "disp": 2}
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(4, ("tile",), shape=(3,))
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(99, ("tile",))
+
+
+def test_finish_from_volumes_requires_right_volume():
+    from stereo_match_traditional_tpu.models.registry import finish_from_volumes
+
+    vol = jnp.zeros((4, 8, 8))
+    with pytest.raises(ValueError, match="both views"):
+        finish_from_volumes("ad_census", vol, None, cfgs.ADCensusConfig(disp_range=4))

@@ -147,3 +147,104 @@ def test_finish_from_volumes_rejects_canonical_post():
     vol = jnp.zeros((4, 8, 10), jnp.float32)
     with pytest.raises(ValueError, match="canonical"):
         finish_from_volumes("ad_census", vol, vol, cfg)
+
+
+def _run_sharded(fn, tiles, t, *tile_arrays):
+    """Run a post_shard op under shard_map on `tiles` devices."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(tiles, ("tile",))
+    specs = (P("tile"),) * len(tile_arrays)
+
+    def tile_fn(*ts):
+        idx = lax.axis_index("tile")
+        return fn(*ts, row_offset=idx * t)
+
+    return jax.jit(
+        jax.shard_map(
+            tile_fn, mesh=mesh, in_specs=specs, out_specs=P("tile"),
+            check_vma=False,
+        )
+    )(*[jnp.asarray(a) for a in tile_arrays])
+
+
+def test_sharded_speckles_jump_phase_exact():
+    """The pointer-jump phase (all_gather label resolution) must reach the
+    same fixpoint as plain sweeping: force it from sweep 0 on a spiral
+    component whose min-label run-path far exceeds any small sweep count."""
+    from stereo_match_traditional_tpu.ops.post import INVALID, remove_speckles
+    from stereo_match_traditional_tpu.parallel.post_shard import (
+        remove_speckles_sharded,
+    )
+
+    h = w = 64
+    tiles, t = 8, 8
+    d = np.full((h, w), INVALID, np.float32)
+    # pitch-2 serpentine: full-width runs on even rows, single connector
+    # cells alternating ends — one 4/8-connected component whose min-label
+    # run-path is ~h runs long
+    for r in range(0, h, 2):
+        d[r, :] = 5.0
+    for k, r in enumerate(range(1, h - 1, 2)):
+        d[r, w - 1 if k % 2 == 0 else 0] = 5.0
+    area = int((d == 5.0).sum())
+    # threshold just above the true area: correct labeling keeps exactly
+    # one component of `area` pixels and kills it; fragmented labels would
+    # undercount every fragment and kill it too — so ALSO check the
+    # keep side with a threshold just below
+    for thresh in (area + 1, area):
+        want = np.asarray(remove_speckles(d, 1.0, thresh, invalid_value=INVALID))
+
+        def op(dt, row_offset, thresh=thresh):
+            return remove_speckles_sharded(
+                dt, 1.0, thresh, "tile", row_offset, h,
+                invalid_value=INVALID, plain_sweeps=0,  # every sweep jumps
+            )
+
+        got = np.asarray(_run_sharded(op, tiles, t, d))
+        np.testing.assert_array_equal(got, want, err_msg=f"thresh {thresh}")
+    # sanity at thresh=area: the single spiral component survives intact
+    assert (want == 5.0).sum() == area
+
+
+def test_sharded_hole_fill_chained_passes_exact():
+    """Regression: the three fill passes compound their reach — a single
+    max_search halo was not enough.  Tall invalid bands spanning several
+    8-device tile boundaries (t=12 << 3*(max_search-1)) must fill exactly
+    as the untiled op."""
+    from stereo_match_traditional_tpu.ops.post import INVALID, fill_holes_8dir
+    from stereo_match_traditional_tpu.parallel.post_shard import (
+        fill_holes_8dir_sharded,
+    )
+
+    h, w, tiles = 96, 40, 8
+    t = h // tiles
+    rng = np.random.default_rng(21)
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        d = rng.uniform(1.0, 9.0, (h, w)).astype(np.float32)
+        occl = np.zeros((h, w), bool)
+        mism = np.zeros((h, w), bool)
+        # tall invalid column bands crossing many tile boundaries
+        for c0, kind in ((5, "occl"), (15, "mism"), (25, "none")):
+            r0 = rng.integers(0, 20)
+            height = rng.integers(40, 70)
+            d[r0 : r0 + height, c0 : c0 + 6] = INVALID
+            if kind == "occl":
+                occl[r0 : r0 + height, c0 : c0 + 6] = True
+            elif kind == "mism":
+                mism[r0 : r0 + height, c0 : c0 + 6] = True
+        want = np.asarray(
+            fill_holes_8dir(d, occl, mism, INVALID, max_search=16)
+        )
+
+        def op(dt, ot, mt, row_offset):
+            return fill_holes_8dir_sharded(
+                dt, ot, mt, "tile", row_offset, h,
+                invalid_value=INVALID, max_search=16,
+            )
+
+        got = np.asarray(_run_sharded(op, tiles, t, d, occl, mism))
+        np.testing.assert_array_equal(got, want, err_msg=f"seed {seed}")
