@@ -79,6 +79,8 @@ def _load_pair(args):
     from stereo_match_traditional_tpu.utils.synthetic import make_pair
 
     if args.synthetic:
+        if getattr(args, "gt", None):
+            raise SystemExit("--gt is for file pairs; --synthetic has its own GT")
         h, w = (int(x) for x in args.synthetic.split("x"))
         left, right, gt = make_pair(h, w, args.disp_range or 60, seed=args.seed)
         return left, right, gt
@@ -86,7 +88,14 @@ def _load_pair(args):
         raise SystemExit("provide --left/--right image paths or --synthetic HxW")
     left = io_utils.rgb_to_gray_u8(io_utils.imread(args.left))
     right = io_utils.rgb_to_gray_u8(io_utils.imread(args.right))
-    return left, right, None
+    gt = None
+    if getattr(args, "gt", None):
+        gt = io_utils.read_gt_disparity(args.gt, scale=args.gt_scale)
+        if gt.shape != left.shape:
+            raise SystemExit(
+                f"--gt shape {gt.shape} does not match the pair {left.shape}"
+            )
+    return left, right, gt
 
 
 def cmd_run(args) -> int:
@@ -162,6 +171,11 @@ def cmd_run(args) -> int:
     if args.out:
         io_utils.imwrite(args.out, io_utils.normalize_u8(disp))
         print(f"disparity -> {args.out}", file=sys.stderr)
+    if args.out_pfm:
+        # Raw float disparities (Middlebury submission format), unlike the
+        # display-normalized --out PNG.
+        io_utils.write_pfm(args.out_pfm, np.asarray(disp, dtype=np.float32))
+        print(f"raw disparity -> {args.out_pfm}", file=sys.stderr)
 
     finite = np.isfinite(disp)
     summary = {
@@ -182,7 +196,10 @@ def cmd_run(args) -> int:
             # not disparity units — measure accuracy on the raw WTA map.
             metric_map = np.asarray(res.disp_left)
             summary["bad_2.0_map"] = "disp_left (disp_final is display-scaled)"
-        summary["bad_2.0"] = round(bad_pixel_rate(metric_map, gt), 4)
+        # File ground truth marks unknown pixels NaN (0 in the 2003 PNGs,
+        # inf in PFMs) — exclude them from the rate; synthetic GT is dense.
+        valid = np.isfinite(gt) if not np.isfinite(gt).all() else None
+        summary["bad_2.0"] = round(bad_pixel_rate(metric_map, gt, valid=valid), 4)
     summary.update(json.loads(timer.report()))
     print(json.dumps(summary))
     return 0
@@ -239,6 +256,19 @@ def main(argv=None) -> int:
     run.add_argument("--left")
     run.add_argument("--right")
     run.add_argument("--out")
+    run.add_argument(
+        "--out-pfm", metavar="PATH",
+        help="also write the raw float disparity map as Middlebury PFM",
+    )
+    run.add_argument(
+        "--gt", metavar="PATH",
+        help="ground-truth disparity (PFM, or integer PNG/PGM) for bad-2.0",
+    )
+    run.add_argument(
+        "--gt-scale", type=float, default=1.0,
+        help="divide image ground-truth values by this (Middlebury 2003 "
+        "Teddy/Cones PNGs store disparity*4: pass 4)",
+    )
     run.add_argument("--synthetic", help="HxW procedural pair with ground truth")
     run.add_argument("--seed", type=int, default=0)
     run.add_argument("--disp-range", type=int, default=None)

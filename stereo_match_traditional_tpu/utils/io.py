@@ -94,6 +94,91 @@ def rgb_to_lab_u8(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(lab), 0, 255).astype(np.uint8)
 
 
+def read_pfm(path: str) -> np.ndarray:
+    """Read a Middlebury PFM file as float32 ([H, W] or [H, W, 3]).
+
+    PFM is the standard container for Middlebury (2005+) ground-truth
+    disparities — the dataset the reference's hard-coded Teddy pair comes
+    from (`SAD/SADmain.cpp:27-28`).  Header: ``Pf``/``PF``, then ``W H``,
+    then a scale whose *sign* encodes endianness (negative = little);
+    pixel rows are stored bottom-to-top.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    # Header = 3 whitespace-separated tokens (magic, W H, scale); the raster
+    # starts after the single whitespace byte that terminates the scale.
+    tokens, pos = [], 0
+    while len(tokens) < 4:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError(f"{path}: truncated PFM header")
+        tokens.append(data[start:pos])
+    pos += 1  # exactly one whitespace byte after the scale token
+    magic = tokens[0].decode("ascii", "replace")
+    if magic not in ("Pf", "PF"):
+        raise ValueError(f"{path}: not a PFM file (magic {magic!r})")
+    w, h = int(tokens[1]), int(tokens[2])
+    scale = float(tokens[3])
+    channels = 3 if magic == "PF" else 1
+    dtype = "<f4" if scale < 0 else ">f4"
+    count = w * h * channels
+    raster = np.frombuffer(data, dtype=dtype, count=count, offset=pos)
+    img = raster.reshape(h, w, channels)[::-1]  # bottom-to-top storage
+    img = img.astype(np.float32)
+    return img[..., 0] if channels == 1 else img
+
+
+def write_pfm(path: str, data: np.ndarray, scale: float = 1.0) -> None:
+    """Write float32 data ([H, W] or [H, W, 3]) as little-endian PFM."""
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 2:
+        magic, img = b"Pf", data[:, :, None]
+    elif data.ndim == 3 and data.shape[2] == 3:
+        magic, img = b"PF", data
+    else:
+        raise ValueError(f"PFM needs [H, W] or [H, W, 3], got {data.shape}")
+    if scale <= 0:
+        raise ValueError("scale must be positive (sign is the endian flag)")
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(magic + b"\n%d %d\n%f\n" % (w, h, -scale))
+        f.write(img[::-1].astype("<f4").tobytes())
+
+
+def read_gt_disparity(path: str, scale: float = 1.0) -> np.ndarray:
+    """Load a ground-truth disparity map as float32 with NaN = unknown.
+
+    Handles both Middlebury conventions:
+
+    - ``.pfm``: float disparities, ``inf`` marks unknown pixels (2005+
+      datasets).  ``scale`` divides the stored values (normally 1).
+    - image files (PNG/PGM): integer ``disparity * scale`` with 0 =
+      unknown — the 2003 Teddy/Cones ground truth stores ``disp * 4`` in
+      8-bit PNGs, so pass ``scale=4``.  16-bit sources are kept at full
+      precision (unlike :func:`imread`, which is for display images).
+    """
+    if path.lower().endswith(".pfm"):
+        gt = read_pfm(path)
+        if gt.ndim == 3:
+            gt = gt[..., 0]
+        gt = np.where(np.isfinite(gt), gt, np.nan).astype(np.float32)
+    else:
+        if _iio is None:  # pragma: no cover
+            raise RuntimeError("imageio is unavailable; cannot read images")
+        raw = np.asarray(_iio.imread(path))
+        if raw.ndim == 3:  # gray stored as RGB: all channels equal
+            raw = raw[..., 0]
+        gt = raw.astype(np.float32)
+        gt = np.where(gt == 0, np.nan, gt)
+    if scale != 1.0:
+        gt = gt / np.float32(scale)
+    return gt.astype(np.float32)
+
+
 def replicate_pad(img: np.ndarray, pad: int) -> np.ndarray:
     """`copyMakeBorder(..., BORDER_REPLICATE)` (`SAD/SADmain.cpp:47-48`)."""
     width = [(pad, pad), (pad, pad)] + [(0, 0)] * (img.ndim - 2)

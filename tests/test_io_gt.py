@@ -1,0 +1,137 @@
+"""Ground-truth I/O: PFM round trip, scaled-PNG GT, CLI --gt wiring.
+
+The reference evaluates nothing (SURVEY §4: validation was imshow windows),
+but its hard-coded Teddy pair (`SAD/SADmain.cpp:27-28`) is a Middlebury
+dataset — whose ground truth ships as disparity*4 PNGs (2003) or PFM
+(2005+).  These tests cover the evaluation path a reference user needs.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from stereo_match_traditional_tpu.utils import io
+from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate, make_pair
+
+
+def test_pfm_round_trip_gray(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((13, 17)).astype(np.float32)
+    p = tmp_path / "d.pfm"
+    io.write_pfm(str(p), data)
+    back = io.read_pfm(str(p))
+    assert back.shape == (13, 17) and back.dtype == np.float32
+    np.testing.assert_array_equal(back, data)
+
+
+def test_pfm_round_trip_color(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((7, 5, 3)).astype(np.float32)
+    p = tmp_path / "c.pfm"
+    io.write_pfm(str(p), data)
+    np.testing.assert_array_equal(io.read_pfm(str(p)), data)
+
+
+def test_pfm_big_endian_and_row_order(tmp_path):
+    # Hand-built big-endian file: positive scale, rows bottom-to-top.
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = tmp_path / "be.pfm"
+    with open(p, "wb") as f:
+        f.write(b"Pf\n4 3\n1.0\n")
+        f.write(data[::-1].astype(">f4").tobytes())
+    np.testing.assert_array_equal(io.read_pfm(str(p)), data)
+
+
+def test_pfm_rejects_non_pfm(tmp_path):
+    p = tmp_path / "x.pfm"
+    p.write_bytes(b"P5\n4 3\n255\n" + bytes(12))
+    with pytest.raises(ValueError):
+        io.read_pfm(str(p))
+
+
+def test_read_gt_disparity_pfm_inf_is_nan(tmp_path):
+    gt = np.array([[1.0, np.inf], [4.0, 2.5]], dtype=np.float32)
+    p = tmp_path / "gt.pfm"
+    io.write_pfm(str(p), gt)
+    out = io.read_gt_disparity(str(p))
+    assert np.isnan(out[0, 1])
+    np.testing.assert_array_equal(out[np.isfinite(out)], [1.0, 4.0, 2.5])
+
+
+def test_read_gt_disparity_png_scale4_zero_unknown(tmp_path):
+    # Middlebury-2003 convention: 8-bit PNG stores disparity*4, 0 = unknown.
+    stored = np.array([[0, 4], [42, 255]], dtype=np.uint8)
+    p = tmp_path / "disp2.png"
+    io.imwrite(str(p), stored)
+    out = io.read_gt_disparity(str(p), scale=4)
+    assert np.isnan(out[0, 0])
+    np.testing.assert_allclose(out[0, 1], 1.0)
+    np.testing.assert_allclose(out[1], [10.5, 63.75])
+
+
+def test_read_gt_disparity_keeps_16bit_precision(tmp_path):
+    import imageio.v3 as iio
+
+    stored = np.array([[0, 300], [70000 % 65535, 1234]], dtype=np.uint16)
+    p = tmp_path / "gt16.png"
+    iio.imwrite(str(p), stored)
+    out = io.read_gt_disparity(str(p), scale=256)
+    assert np.isnan(out[0, 0])
+    np.testing.assert_allclose(out[0, 1], 300 / 256)
+
+
+def test_bad_pixel_rate_valid_mask_excludes_unknown():
+    gt = np.array([[1.0, np.nan], [5.0, 9.0]])
+    disp = np.array([[1.0, 77.0], [5.0, 0.0]])  # the NaN-GT pixel is wild
+    valid = np.isfinite(gt)
+    assert bad_pixel_rate(disp, gt, valid=valid) == pytest.approx(1 / 3)
+
+
+def test_cli_run_with_gt_file_and_pfm_out(tmp_path, capsys):
+    from stereo_match_traditional_tpu import cli
+
+    L, R, gt = make_pair(48, 64, 10, seed=5)
+    lp, rp, gp = tmp_path / "l.png", tmp_path / "r.png", tmp_path / "gt.pfm"
+    io.imwrite(str(lp), L)
+    io.imwrite(str(rp), R)
+    # Mark a corner unknown: it must be excluded, not counted bad/good.
+    gt_file = gt.copy()
+    gt_file[:8, :8] = np.inf
+    io.write_pfm(str(gp), gt_file)
+    out_pfm = tmp_path / "d.pfm"
+    rc = cli.main(
+        [
+            "run", "sad", "--left", str(lp), "--right", str(rp),
+            "--disp-range", "10", "--gt", str(gp), "--out-pfm", str(out_pfm),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= summary["bad_2.0"] < 0.3
+    disp = io.read_pfm(str(out_pfm))
+    assert disp.shape == (48, 64)
+    # The PFM round trip preserves the raw (non-display) disparities.
+    finite = np.isfinite(disp)
+    assert finite.any() and disp[finite].max() <= 10
+
+
+def test_cli_rejects_gt_with_synthetic():
+    from stereo_match_traditional_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["run", "sad", "--synthetic", "32x32", "--gt", "x.pfm"])
+
+
+def test_cli_rejects_gt_shape_mismatch(tmp_path):
+    from stereo_match_traditional_tpu import cli
+
+    L, R, _ = make_pair(32, 48, 10, seed=2)
+    lp, rp, gp = tmp_path / "l.png", tmp_path / "r.png", tmp_path / "g.pfm"
+    io.imwrite(str(lp), L)
+    io.imwrite(str(rp), R)
+    io.write_pfm(str(gp), np.zeros((16, 16), np.float32))
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["run", "sad", "--left", str(lp), "--right", str(rp), "--gt", str(gp)]
+        )
