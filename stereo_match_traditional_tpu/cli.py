@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 import typing
@@ -120,9 +121,11 @@ def cmd_run(args) -> int:
     if args.save_stages and executor != "direct":
         raise SystemExit("--save-stages requires --executor direct")
 
+    from stereo_match_traditional_tpu.utils.profiling import profile
+
     timer = StageTimer()
     stages = None
-    with timer.stage("pipeline"):
+    with profile(args.trace), timer.stage("pipeline"):
         if executor == "direct":
             if args.save_stages:
                 res, stages = pipeline(
@@ -205,6 +208,76 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Evaluate one pipeline over a dataset directory.
+
+    Layout and defaults follow the Middlebury 2003 convention the
+    reference hard-codes (`im2.png`/`im6.png` in every main, e.g.
+    `SAD/SADmain.cpp:27-28`; ground truth `disp2.png` stores disparity*4
+    with 0 = unknown).  ``--data`` may point at one scene directory or at
+    a directory of scene directories (`teddy/`, `cones/`, ...).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereo_match_traditional_tpu.config import disp_override_kw
+    from stereo_match_traditional_tpu.models import get_pipeline
+    from stereo_match_traditional_tpu.utils import io as io_utils
+    from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
+
+    pipeline, cfg_cls = get_pipeline(args.pipeline)
+    kw = _parse_set(cfg_cls, args.set)
+    for field, val in disp_override_kw(cfg_cls, args.disp_range).items():
+        kw.setdefault(field, val)
+    cfg = cfg_cls(**kw)
+
+    root = args.data
+    if os.path.exists(os.path.join(root, args.left_name)):
+        scenes = [(os.path.basename(os.path.normpath(root)), root)]
+    else:
+        scenes = [
+            (entry, os.path.join(root, entry))
+            for entry in sorted(os.listdir(root))
+            if os.path.exists(os.path.join(root, entry, args.left_name))
+        ]
+    if not scenes:
+        raise SystemExit(f"no scene under {root!r} contains {args.left_name!r}")
+
+    rows, rates = [], []
+    for name, d in scenes:
+        left = io_utils.rgb_to_gray_u8(io_utils.imread(os.path.join(d, args.left_name)))
+        right = io_utils.rgb_to_gray_u8(
+            io_utils.imread(os.path.join(d, args.right_name))
+        )
+        res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+        disp = np.asarray(
+            res.disp_final if res.disp_final is not None else res.disp_left
+        )
+        metric_map = disp
+        if args.pipeline == "asw" and res.disp_final is not None:
+            # the faithful ASW final map is display-scaled (`ASWeight.cpp:69`)
+            metric_map = np.asarray(res.disp_left)
+        row = {"scene": name, "shape": list(disp.shape)}
+        gt_path = os.path.join(d, args.gt_name)
+        if os.path.exists(gt_path):
+            gt = io_utils.read_gt_disparity(gt_path, scale=args.gt_scale)
+            if gt.shape != metric_map.shape:
+                raise SystemExit(
+                    f"{name}: GT shape {gt.shape} != pair {metric_map.shape}"
+                )
+            valid = np.isfinite(gt) if not np.isfinite(gt).all() else None
+            rate = bad_pixel_rate(metric_map, gt, thresh=args.thresh, valid=valid)
+            row[f"bad_{args.thresh:g}"] = round(rate, 4)
+            rates.append(rate)
+        rows.append(row)
+
+    out = {"pipeline": args.pipeline, "scenes": rows}
+    if rates:
+        out[f"mean_bad_{args.thresh:g}"] = round(float(np.mean(rates)), 4)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import os
     import subprocess
@@ -270,6 +343,11 @@ def main(argv=None) -> int:
         "Teddy/Cones PNGs store disparity*4: pass 4)",
     )
     run.add_argument("--synthetic", help="HxW procedural pair with ground truth")
+    run.add_argument(
+        "--trace", metavar="DIR",
+        help="capture an XProf/Perfetto trace of the run into DIR "
+        "(stages appear as stereo/<stage> named scopes)",
+    )
     run.add_argument("--seed", type=int, default=0)
     run.add_argument("--disp-range", type=int, default=None)
     run.add_argument("--set", action="append", metavar="FIELD=VALUE")
@@ -286,6 +364,26 @@ def main(argv=None) -> int:
         help="rows per band for --executor streamed",
     )
     run.set_defaults(func=cmd_run)
+
+    ev = sub.add_parser(
+        "eval", help="evaluate a pipeline over a dataset directory (bad-pixel rates)"
+    )
+    ev.add_argument("pipeline")
+    ev.add_argument(
+        "--data", required=True,
+        help="a scene directory or a directory of scene directories",
+    )
+    ev.add_argument("--left-name", default="im2.png")
+    ev.add_argument("--right-name", default="im6.png")
+    ev.add_argument("--gt-name", default="disp2.png")
+    ev.add_argument(
+        "--gt-scale", type=float, default=4.0,
+        help="GT values / scale (Middlebury 2003 PNGs store disparity*4)",
+    )
+    ev.add_argument("--thresh", type=float, default=2.0, help="bad-pixel threshold")
+    ev.add_argument("--disp-range", type=int, default=None)
+    ev.add_argument("--set", action="append", metavar="FIELD=VALUE")
+    ev.set_defaults(func=cmd_eval)
 
     bench = sub.add_parser("bench", help="run the throughput harness")
     bench.add_argument("--pipeline", default="ad_census")

@@ -135,3 +135,73 @@ def test_cli_rejects_gt_shape_mismatch(tmp_path):
         cli.main(
             ["run", "sad", "--left", str(lp), "--right", str(rp), "--gt", str(gp)]
         )
+
+
+def _write_scene(d, seed, h=48, w=64):
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    L, R, gt = make_pair(h, w, 10, seed=seed)
+    io.imwrite(os.path.join(d, "im2.png"), L)
+    io.imwrite(os.path.join(d, "im6.png"), R)
+    # Middlebury-2003 GT convention: disparity*4 u8, 0 = unknown
+    g = np.round(gt * 4).astype(np.uint8)
+    g[:4, :4] = 0
+    io.imwrite(os.path.join(d, "disp2.png"), g)
+
+
+def test_cli_eval_dataset_directory(tmp_path, capsys):
+    from stereo_match_traditional_tpu import cli
+
+    _write_scene(str(tmp_path / "teddy"), seed=11)
+    _write_scene(str(tmp_path / "cones"), seed=12)
+    rc = cli.main(
+        ["eval", "sad", "--data", str(tmp_path), "--disp-range", "10"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["scene"] for s in out["scenes"]] == ["cones", "teddy"]
+    for s in out["scenes"]:
+        assert 0.0 <= s["bad_2"] < 0.5
+    assert out["mean_bad_2"] == pytest.approx(
+        np.mean([s["bad_2"] for s in out["scenes"]]), abs=1e-3
+    )
+
+
+def test_cli_eval_single_scene_custom_thresh(tmp_path, capsys):
+    from stereo_match_traditional_tpu import cli
+
+    _write_scene(str(tmp_path / "teddy"), seed=13)
+    rc = cli.main(
+        [
+            "eval", "sad", "--data", str(tmp_path / "teddy"),
+            "--disp-range", "10", "--thresh", "1.0",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scenes"][0]["scene"] == "teddy"
+    assert "bad_1" in out["scenes"][0]
+
+
+def test_cli_eval_no_scene_errors(tmp_path):
+    from stereo_match_traditional_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["eval", "sad", "--data", str(tmp_path)])
+
+
+def test_cli_run_trace_capture(tmp_path, capsys):
+    from stereo_match_traditional_tpu import cli
+
+    trace_dir = tmp_path / "trace"
+    rc = cli.main(
+        [
+            "run", "sad", "--synthetic", "32x48", "--disp-range", "8",
+            "--trace", str(trace_dir),
+        ]
+    )
+    assert rc == 0
+    # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the dir
+    found = list(trace_dir.rglob("*.xplane.pb"))
+    assert found, f"no trace artifacts under {trace_dir}"
