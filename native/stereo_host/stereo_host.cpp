@@ -176,6 +176,75 @@ int smt_write_pnm(const char* path, const uint8_t* buf, int h, int w,
 }
 
 // ---------------------------------------------------------------------------
+// PFM codec (float maps: Middlebury ground truth / disparity submissions —
+// the dataset family the reference's hard-coded Teddy pair comes from,
+// `SAD/SADmain.cpp:27-28`).  Mirrors utils/io.read_pfm/write_pfm.
+// ---------------------------------------------------------------------------
+
+// Returns 0 on success; fills h/w/channels (1 = "Pf", 3 = "PF").  Rows in
+// buf are top-to-bottom (PFM stores bottom-to-top; this codec flips) and
+// byte order is host order regardless of the file's endianness flag.
+// Pass probe=1 to read only the header.
+int smt_read_pfm(const char* path, float* buf, int64_t buf_size, int* h,
+                 int* w, int* channels, int probe) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  char magic[3] = {0, 0, 0};
+  int ww = 0, hh = 0;
+  double scale = 0.0;
+  if (fscanf(f, "%2s %d %d %lf", magic, &ww, &hh, &scale) != 4 ||
+      (strcmp(magic, "Pf") != 0 && strcmp(magic, "PF") != 0) || ww <= 0 ||
+      hh <= 0 || scale == 0.0) {
+    fclose(f);
+    return -2;
+  }
+  fgetc(f);  // exactly one whitespace byte terminates the scale token
+  int ch = magic[1] == 'f' ? 1 : 3;
+  *h = hh; *w = ww; *channels = ch;
+  if (probe) { fclose(f); return 0; }
+  int64_t need = (int64_t)hh * ww * ch;
+  if (buf_size < need) { fclose(f); return -3; }
+  // bottom-to-top storage: read each raster row into its flipped slot
+  for (int r = hh - 1; r >= 0; --r)
+    if ((int64_t)fread(buf + (int64_t)r * ww * ch, sizeof(float), (size_t)ww * ch,
+                       f) != (int64_t)ww * ch) {
+      fclose(f);
+      return -4;
+    }
+  fclose(f);
+  const uint16_t one = 1;
+  bool host_le = *(const uint8_t*)&one == 1;
+  if ((scale < 0) != host_le) {  // file endianness != host: swap in place
+    uint8_t* b = (uint8_t*)buf;
+    for (int64_t i = 0; i < need; ++i) {
+      std::swap(b[4 * i], b[4 * i + 3]);
+      std::swap(b[4 * i + 1], b[4 * i + 2]);
+    }
+  }
+  return 0;
+}
+
+// buf is top-to-bottom [h, w, channels] host-order floats; channels 1 or 3.
+int smt_write_pfm(const char* path, const float* buf, int h, int w,
+                  int channels) {
+  if ((channels != 1 && channels != 3) || h <= 0 || w <= 0) return -1;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -2;
+  const uint16_t one = 1;
+  bool host_le = *(const uint8_t*)&one == 1;
+  fprintf(f, "P%c\n%d %d\n%f\n", channels == 1 ? 'f' : 'F',
+          w, h, host_le ? -1.0 : 1.0);
+  for (int r = h - 1; r >= 0; --r)  // bottom-to-top
+    if ((int64_t)fwrite(buf + (int64_t)r * w * channels, sizeof(float),
+                        (size_t)w * channels, f) != (int64_t)w * channels) {
+      fclose(f);
+      return -3;
+    }
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // threaded pair loader: decode + gray-convert on worker threads, ring buffer
 // of ready pairs (pipelines host prep with device compute — the role OpenCV
 // plays synchronously inside every reference main())

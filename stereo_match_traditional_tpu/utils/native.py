@@ -52,7 +52,15 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
+        src = os.path.join(_DIR, "stereo_host.cpp")
+        stale = (
+            os.path.exists(_SO)
+            and os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO)
+        )
+        # A stale .so may predate newly added symbols (argtypes registration
+        # below would AttributeError), so a failed rebuild is fatal either way.
+        if (not os.path.exists(_SO) or stale) and not _build():
             return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -75,6 +83,16 @@ def _load():
             ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int
         ]
         lib.smt_write_pnm.restype = ctypes.c_int
+        lib.smt_read_pfm.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.smt_read_pfm.restype = ctypes.c_int
+        lib.smt_write_pfm.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+        ]
+        lib.smt_write_pfm.restype = ctypes.c_int
         lib.smt_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -96,6 +114,10 @@ def available() -> bool:
 
 def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def rgb_to_gray_u8(img: np.ndarray) -> Optional[np.ndarray]:
@@ -169,6 +191,41 @@ def read_pnm(path: str) -> Optional[np.ndarray]:
         raise IOError(f"read_pnm({path}): read error {rc}")
     img = buf.reshape(h.value, w.value, ch.value)
     return img[..., 0] if ch.value == 1 else img
+
+
+def read_pfm(path: str) -> Optional[np.ndarray]:
+    """Native PFM read: float32 [H, W] or [H, W, 3], rows top-to-bottom."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ch = ctypes.c_int()
+    rc = lib.smt_read_pfm(
+        path.encode(), None, 0, ctypes.byref(h), ctypes.byref(w), ctypes.byref(ch), 1
+    )
+    if rc != 0:
+        raise IOError(f"read_pfm({path}): header error {rc}")
+    buf = np.empty(h.value * w.value * ch.value, np.float32)
+    rc = lib.smt_read_pfm(
+        path.encode(), _f32p(buf), buf.size,
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(ch), 0,
+    )
+    if rc != 0:
+        raise IOError(f"read_pfm({path}): read error {rc}")
+    img = buf.reshape(h.value, w.value, ch.value)
+    return img[..., 0] if ch.value == 1 else img
+
+
+def write_pfm(path: str, data: np.ndarray) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, np.float32)
+    ch = 1 if data.ndim == 2 else data.shape[2]
+    rc = lib.smt_write_pfm(path.encode(), _f32p(data), data.shape[0], data.shape[1], ch)
+    if rc != 0:
+        raise IOError(f"write_pfm({path}): error {rc}")
 
 
 def write_pnm(path: str, img: np.ndarray) -> None:

@@ -65,6 +65,36 @@ def test_pnm_roundtrip(tmp_path):
     np.testing.assert_array_equal(native.read_pnm(p2), color)
 
 
+def test_pfm_roundtrip_native(tmp_path):
+    gray = rng.standard_normal((9, 13)).astype(np.float32)
+    color = rng.standard_normal((7, 5, 3)).astype(np.float32)
+    p1 = str(tmp_path / "g.pfm")
+    p2 = str(tmp_path / "c.pfm")
+    native.write_pfm(p1, gray)
+    native.write_pfm(p2, color)
+    np.testing.assert_array_equal(native.read_pfm(p1), gray)
+    np.testing.assert_array_equal(native.read_pfm(p2), color)
+
+
+def test_pfm_native_python_cross_compat(tmp_path):
+    data = rng.standard_normal((11, 6)).astype(np.float32)
+    pn = str(tmp_path / "n.pfm")
+    pp = str(tmp_path / "p.pfm")
+    native.write_pfm(pn, data)
+    np.testing.assert_array_equal(io_utils.read_pfm(pn), data)
+    io_utils.write_pfm(pp, data)
+    np.testing.assert_array_equal(native.read_pfm(pp), data)
+
+
+def test_pfm_native_reads_big_endian(tmp_path):
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "be.pfm")
+    with open(p, "wb") as f:
+        f.write(b"Pf\n4 3\n1.0\n")
+        f.write(data[::-1].astype(">f4").tobytes())
+    np.testing.assert_array_equal(native.read_pfm(p), data)
+
+
 def test_pair_loader_in_order(tmp_path):
     pairs = []
     imgs = []
