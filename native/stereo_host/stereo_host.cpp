@@ -198,7 +198,12 @@ int smt_read_pfm(const char* path, float* buf, int64_t buf_size, int* h,
     fclose(f);
     return -2;
   }
-  fgetc(f);  // exactly one whitespace byte terminates the scale token
+  // One whitespace byte terminates the scale token; tolerate a text-mode
+  // CRLF pair (consuming only the '\r' would shift the raster one byte).
+  if (fgetc(f) == '\r') {
+    int c = fgetc(f);
+    if (c != '\n' && c != EOF) ungetc(c, f);
+  }
   int ch = magic[1] == 'f' ? 1 : 3;
   *h = hh; *w = ww; *channels = ch;
   if (probe) { fclose(f); return 0; }

@@ -99,21 +99,55 @@ def _load_pair(args):
     return left, right, gt
 
 
-def cmd_run(args) -> int:
-    import jax.numpy as jnp
-    import numpy as np
-
-    from stereo_match_traditional_tpu.models import get_pipeline
-    from stereo_match_traditional_tpu.utils import io as io_utils
-    from stereo_match_traditional_tpu.utils.profiling import StageTimer
-
+def _build_cfg(args):
+    """(pipeline_fn, cfg) from the shared pipeline/--set/--disp-range args."""
     from stereo_match_traditional_tpu.config import disp_override_kw
+    from stereo_match_traditional_tpu.models import get_pipeline
 
     pipeline, cfg_cls = get_pipeline(args.pipeline)
     kw = _parse_set(cfg_cls, args.set)
     for field, val in disp_override_kw(cfg_cls, args.disp_range).items():
         kw.setdefault(field, val)  # an explicit --set wins
-    cfg = cfg_cls(**kw)
+    return pipeline, cfg_cls(**kw)
+
+
+def _metric_map(pipeline_name, res, disp):
+    """The map to score against ground truth, plus a note (or None).
+
+    ASW's faithful final map is the reference's *display* scale
+    (cv::normalize to 0-255 before speckles, `ASWeight.cpp:69`), not
+    disparity units — accuracy is measured on the raw WTA map.
+    """
+    import numpy as np
+
+    if pipeline_name == "asw" and res.disp_final is not None:
+        return np.asarray(res.disp_left), "disp_left (disp_final is display-scaled)"
+    return disp, None
+
+
+def _bad_rate(metric_map, gt, thresh: float = 2.0):
+    """bad-``thresh`` rate over the known-GT pixels (file GT marks unknown
+    pixels NaN), or None when no pixel is known — an all-unknown map must
+    read as no-data, not a perfect 0.0."""
+    import numpy as np
+
+    from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
+
+    finite = np.isfinite(gt)
+    if not finite.any():
+        return None
+    valid = None if finite.all() else finite
+    return round(bad_pixel_rate(metric_map, gt, thresh=thresh, valid=valid), 4)
+
+
+def cmd_run(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereo_match_traditional_tpu.utils import io as io_utils
+    from stereo_match_traditional_tpu.utils.profiling import StageTimer
+
+    pipeline, cfg = _build_cfg(args)
 
     left, right, gt = _load_pair(args)
 
@@ -190,19 +224,10 @@ def cmd_run(args) -> int:
         "disp_max": float(disp[finite].max()) if finite.any() else None,
     }
     if gt is not None:
-        from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
-
-        metric_map = disp
-        if args.pipeline == "asw" and res.disp_final is not None:
-            # ASW's faithful final map is the reference's *display* scale
-            # (cv::normalize to 0-255 before speckles, `ASWeight.cpp:69`),
-            # not disparity units — measure accuracy on the raw WTA map.
-            metric_map = np.asarray(res.disp_left)
-            summary["bad_2.0_map"] = "disp_left (disp_final is display-scaled)"
-        # File ground truth marks unknown pixels NaN (0 in the 2003 PNGs,
-        # inf in PFMs) — exclude them from the rate; synthetic GT is dense.
-        valid = np.isfinite(gt) if not np.isfinite(gt).all() else None
-        summary["bad_2.0"] = round(bad_pixel_rate(metric_map, gt, valid=valid), 4)
+        metric_map, note = _metric_map(args.pipeline, res, disp)
+        if note:
+            summary["bad_2.0_map"] = note
+        summary["bad_2.0"] = _bad_rate(metric_map, gt)
     summary.update(json.loads(timer.report()))
     print(json.dumps(summary))
     return 0
@@ -220,18 +245,13 @@ def cmd_eval(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from stereo_match_traditional_tpu.config import disp_override_kw
-    from stereo_match_traditional_tpu.models import get_pipeline
     from stereo_match_traditional_tpu.utils import io as io_utils
-    from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate
 
-    pipeline, cfg_cls = get_pipeline(args.pipeline)
-    kw = _parse_set(cfg_cls, args.set)
-    for field, val in disp_override_kw(cfg_cls, args.disp_range).items():
-        kw.setdefault(field, val)
-    cfg = cfg_cls(**kw)
+    pipeline, cfg = _build_cfg(args)
 
     root = args.data
+    if not os.path.isdir(root):
+        raise SystemExit(f"--data {root!r} is not a directory")
     if os.path.exists(os.path.join(root, args.left_name)):
         scenes = [(os.path.basename(os.path.normpath(root)), root)]
     else:
@@ -253,10 +273,7 @@ def cmd_eval(args) -> int:
         disp = np.asarray(
             res.disp_final if res.disp_final is not None else res.disp_left
         )
-        metric_map = disp
-        if args.pipeline == "asw" and res.disp_final is not None:
-            # the faithful ASW final map is display-scaled (`ASWeight.cpp:69`)
-            metric_map = np.asarray(res.disp_left)
+        metric_map, _ = _metric_map(args.pipeline, res, disp)
         row = {"scene": name, "shape": list(disp.shape)}
         gt_path = os.path.join(d, args.gt_name)
         if os.path.exists(gt_path):
@@ -265,15 +282,16 @@ def cmd_eval(args) -> int:
                 raise SystemExit(
                     f"{name}: GT shape {gt.shape} != pair {metric_map.shape}"
                 )
-            valid = np.isfinite(gt) if not np.isfinite(gt).all() else None
-            rate = bad_pixel_rate(metric_map, gt, thresh=args.thresh, valid=valid)
-            row[f"bad_{args.thresh:g}"] = round(rate, 4)
-            rates.append(rate)
+            # key matches cmd_run's "bad_2.0" for the default threshold
+            rate = _bad_rate(metric_map, gt, args.thresh)
+            row[f"bad_{args.thresh:.1f}"] = rate
+            if rate is not None:  # all-unknown GT: reported null, not averaged
+                rates.append(rate)
         rows.append(row)
 
     out = {"pipeline": args.pipeline, "scenes": rows}
     if rates:
-        out[f"mean_bad_{args.thresh:g}"] = round(float(np.mean(rates)), 4)
+        out[f"mean_bad_{args.thresh:.1f}"] = round(float(np.mean(rates)), 4)
     print(json.dumps(out))
     return 0
 
@@ -338,9 +356,10 @@ def main(argv=None) -> int:
         help="ground-truth disparity (PFM, or integer PNG/PGM) for bad-2.0",
     )
     run.add_argument(
-        "--gt-scale", type=float, default=1.0,
-        help="divide image ground-truth values by this (Middlebury 2003 "
-        "Teddy/Cones PNGs store disparity*4: pass 4)",
+        "--gt-scale", type=float, default=None,
+        help="divide ground-truth values by this; default is the format's "
+        "convention (1 for PFM, 4 for integer images — Middlebury 2003 "
+        "Teddy/Cones PNGs store disparity*4)",
     )
     run.add_argument("--synthetic", help="HxW procedural pair with ground truth")
     run.add_argument(
@@ -377,8 +396,9 @@ def main(argv=None) -> int:
     ev.add_argument("--right-name", default="im6.png")
     ev.add_argument("--gt-name", default="disp2.png")
     ev.add_argument(
-        "--gt-scale", type=float, default=4.0,
-        help="GT values / scale (Middlebury 2003 PNGs store disparity*4)",
+        "--gt-scale", type=float, default=None,
+        help="divide ground-truth values by this; default is the format's "
+        "convention (1 for PFM, 4 for integer images)",
     )
     ev.add_argument("--thresh", type=float, default=2.0, help="bad-pixel threshold")
     ev.add_argument("--disp-range", type=int, default=None)

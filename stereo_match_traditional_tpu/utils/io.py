@@ -117,15 +117,25 @@ def read_pfm(path: str) -> np.ndarray:
         if start == pos:
             raise ValueError(f"{path}: truncated PFM header")
         tokens.append(data[start:pos])
-    pos += 1  # exactly one whitespace byte after the scale token
+    # One whitespace byte terminates the scale token; tolerate the CRLF
+    # pair text-mode writers emit (consuming only the '\r' would shift the
+    # whole raster one byte and decode silent garbage).
+    if data[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     magic = tokens[0].decode("ascii", "replace")
     if magic not in ("Pf", "PF"):
         raise ValueError(f"{path}: not a PFM file (magic {magic!r})")
     w, h = int(tokens[1]), int(tokens[2])
     scale = float(tokens[3])
+    if w <= 0 or h <= 0 or scale == 0.0:
+        raise ValueError(f"{path}: bad PFM header (w={w}, h={h}, scale={scale})")
     channels = 3 if magic == "PF" else 1
     dtype = "<f4" if scale < 0 else ">f4"
     count = w * h * channels
+    if pos + 4 * count > len(data):
+        raise ValueError(f"{path}: truncated PFM raster ({w}x{h}x{channels})")
     raster = np.frombuffer(data, dtype=dtype, count=count, offset=pos)
     img = raster.reshape(h, w, channels)[::-1]  # bottom-to-top storage
     img = img.astype(np.float32)
@@ -149,7 +159,7 @@ def write_pfm(path: str, data: np.ndarray, scale: float = 1.0) -> None:
         f.write(img[::-1].astype("<f4").tobytes())
 
 
-def read_gt_disparity(path: str, scale: float = 1.0) -> np.ndarray:
+def read_gt_disparity(path: str, scale: float = None) -> np.ndarray:
     """Load a ground-truth disparity map as float32 with NaN = unknown.
 
     Handles both Middlebury conventions:
@@ -160,7 +170,12 @@ def read_gt_disparity(path: str, scale: float = 1.0) -> np.ndarray:
       unknown — the 2003 Teddy/Cones ground truth stores ``disp * 4`` in
       8-bit PNGs, so pass ``scale=4``.  16-bit sources are kept at full
       precision (unlike :func:`imread`, which is for display images).
+
+    ``scale=None`` picks the format's convention: 1 for PFM, 4 for
+    integer images.
     """
+    if scale is None:
+        scale = 1.0 if path.lower().endswith(".pfm") else 4.0
     if path.lower().endswith(".pfm"):
         gt = read_pfm(path)
         if gt.ndim == 3:

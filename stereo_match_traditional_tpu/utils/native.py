@@ -52,20 +52,21 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        src = os.path.join(_DIR, "stereo_host.cpp")
-        stale = (
-            os.path.exists(_SO)
-            and os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(_SO)
-        )
-        # A stale .so may predate newly added symbols (argtypes registration
-        # below would AttributeError), so a failed rebuild is fatal either way.
-        if (not os.path.exists(_SO) or stale) and not _build():
+        if not os.path.exists(_SO) and not _build():
             return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
+        # A prebuilt .so may predate newly added symbols (mtime comparisons
+        # are unreliable across checkouts, so probe the symbol instead).
+        # `make` replaces the file with a new inode, so re-dlopening the
+        # path maps the fresh build even while the old handle is alive.
+        if not hasattr(lib, "smt_read_pfm") and _build():
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.smt_rgb_to_gray_u8.argtypes = [u8p, ctypes.c_int64, u8p]
@@ -83,16 +84,19 @@ def _load():
             ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int
         ]
         lib.smt_write_pnm.restype = ctypes.c_int
-        lib.smt_read_pfm.argtypes = [
-            ctypes.c_char_p, f32p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.smt_read_pfm.restype = ctypes.c_int
-        lib.smt_write_pfm.argtypes = [
-            ctypes.c_char_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int
-        ]
-        lib.smt_write_pfm.restype = ctypes.c_int
+        if hasattr(lib, "smt_read_pfm"):
+            # absent only on an old prebuilt .so that could not be rebuilt
+            # (no toolchain); the rest of the native surface still works.
+            lib.smt_read_pfm.argtypes = [
+                ctypes.c_char_p, f32p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ]
+            lib.smt_read_pfm.restype = ctypes.c_int
+            lib.smt_write_pfm.argtypes = [
+                ctypes.c_char_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+            ]
+            lib.smt_write_pfm.restype = ctypes.c_int
         lib.smt_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -196,7 +200,7 @@ def read_pnm(path: str) -> Optional[np.ndarray]:
 def read_pfm(path: str) -> Optional[np.ndarray]:
     """Native PFM read: float32 [H, W] or [H, W, 3], rows top-to-bottom."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "smt_read_pfm"):
         return None
     h = ctypes.c_int()
     w = ctypes.c_int()
@@ -219,8 +223,8 @@ def read_pfm(path: str) -> Optional[np.ndarray]:
 
 def write_pfm(path: str, data: np.ndarray) -> None:
     lib = _load()
-    if lib is None:
-        raise RuntimeError("native library unavailable")
+    if lib is None or not hasattr(lib, "smt_write_pfm"):
+        raise RuntimeError("native library (or its PFM codec) unavailable")
     data = np.ascontiguousarray(data, np.float32)
     ch = 1 if data.ndim == 2 else data.shape[2]
     rc = lib.smt_write_pfm(path.encode(), _f32p(data), data.shape[0], data.shape[1], ch)

@@ -162,9 +162,9 @@ def test_cli_eval_dataset_directory(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [s["scene"] for s in out["scenes"]] == ["cones", "teddy"]
     for s in out["scenes"]:
-        assert 0.0 <= s["bad_2"] < 0.5
-    assert out["mean_bad_2"] == pytest.approx(
-        np.mean([s["bad_2"] for s in out["scenes"]]), abs=1e-3
+        assert 0.0 <= s["bad_2.0"] < 0.5
+    assert out["mean_bad_2.0"] == pytest.approx(
+        np.mean([s["bad_2.0"] for s in out["scenes"]]), abs=1e-3
     )
 
 
@@ -181,7 +181,7 @@ def test_cli_eval_single_scene_custom_thresh(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["scenes"][0]["scene"] == "teddy"
-    assert "bad_1" in out["scenes"][0]
+    assert "bad_1.0" in out["scenes"][0]
 
 
 def test_cli_eval_no_scene_errors(tmp_path):
@@ -205,3 +205,62 @@ def test_cli_run_trace_capture(tmp_path, capsys):
     # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the dir
     found = list(trace_dir.rglob("*.xplane.pb"))
     assert found, f"no trace artifacts under {trace_dir}"
+
+
+def test_pfm_crlf_header_tolerated(tmp_path):
+    # Text-mode writers terminate the scale with CRLF; the raster must not
+    # be read one byte shifted.
+    data = np.arange(6, dtype=np.float32).reshape(2, 3)
+    p = tmp_path / "crlf.pfm"
+    with open(p, "wb") as f:
+        f.write(b"Pf\r\n3 2\r\n-1.0\r\n")
+        f.write(data[::-1].astype("<f4").tobytes())
+    np.testing.assert_array_equal(io.read_pfm(str(p)), data)
+
+
+def test_pfm_rejects_corrupt_header_and_truncation(tmp_path):
+    bad_dims = tmp_path / "bad.pfm"
+    bad_dims.write_bytes(b"Pf\n-4 3\n-1.0\n" + bytes(48))
+    with pytest.raises(ValueError):
+        io.read_pfm(str(bad_dims))
+    trunc = tmp_path / "trunc.pfm"
+    trunc.write_bytes(b"Pf\n4 3\n-1.0\n" + bytes(20))  # needs 48
+    with pytest.raises(ValueError):
+        io.read_pfm(str(trunc))
+
+
+def test_read_gt_disparity_auto_scale(tmp_path):
+    # None picks the format convention: PFM / 1, integer image / 4.
+    pf = tmp_path / "a.pfm"
+    io.write_pfm(str(pf), np.full((2, 2), 8.0, np.float32))
+    np.testing.assert_allclose(io.read_gt_disparity(str(pf)), 8.0)
+    png = tmp_path / "a.png"
+    io.imwrite(str(png), np.full((2, 2), 8, np.uint8))
+    np.testing.assert_allclose(io.read_gt_disparity(str(png)), 2.0)
+
+
+def test_cli_eval_all_unknown_gt_is_null_not_perfect(tmp_path, capsys):
+    import os
+
+    from stereo_match_traditional_tpu import cli
+
+    _write_scene(str(tmp_path / "good"), seed=21)
+    _write_scene(str(tmp_path / "empty"), seed=22)
+    io.imwrite(
+        os.path.join(str(tmp_path / "empty"), "disp2.png"),
+        np.zeros((48, 64), np.uint8),  # every pixel unknown
+    )
+    rc = cli.main(["eval", "sad", "--data", str(tmp_path), "--disp-range", "10"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by = {s["scene"]: s for s in out["scenes"]}
+    assert by["empty"]["bad_2.0"] is None
+    # the empty scene must not drag the mean toward perfect
+    assert out["mean_bad_2.0"] == by["good"]["bad_2.0"]
+
+
+def test_cli_eval_missing_data_dir_is_clean_error():
+    from stereo_match_traditional_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["eval", "sad", "--data", "/nonexistent/path/xyz"])

@@ -95,6 +95,15 @@ def test_pfm_native_reads_big_endian(tmp_path):
     np.testing.assert_array_equal(native.read_pfm(p), data)
 
 
+def test_pfm_native_crlf_header(tmp_path):
+    data = np.arange(6, dtype=np.float32).reshape(2, 3)
+    p = str(tmp_path / "crlf.pfm")
+    with open(p, "wb") as f:
+        f.write(b"Pf\r\n3 2\r\n-1.0\r\n")
+        f.write(data[::-1].astype("<f4").tobytes())
+    np.testing.assert_array_equal(native.read_pfm(p), data)
+
+
 def test_pair_loader_in_order(tmp_path):
     pairs = []
     imgs = []
