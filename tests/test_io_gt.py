@@ -264,3 +264,15 @@ def test_cli_eval_missing_data_dir_is_clean_error():
 
     with pytest.raises(SystemExit):
         cli.main(["eval", "sad", "--data", "/nonexistent/path/xyz"])
+
+
+def test_cli_eval_asw_scores_raw_wta_map(tmp_path, capsys):
+    # ASW's disp_final is display-scaled (`ASWeight.cpp:69`); eval must
+    # score the raw WTA map or the bad rate would be ~1.0.
+    from stereo_match_traditional_tpu import cli
+
+    _write_scene(str(tmp_path / "teddy"), seed=31, h=40, w=56)
+    rc = cli.main(["eval", "asw", "--data", str(tmp_path), "--disp-range", "10"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scenes"][0]["bad_2.0"] < 0.5
