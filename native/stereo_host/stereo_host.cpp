@@ -191,10 +191,34 @@ int smt_read_pfm(const char* path, float* buf, int64_t buf_size, int* h,
   if (!f) return -1;
   char magic[3] = {0, 0, 0};
   int ww = 0, hh = 0;
-  double scale = 0.0;
-  if (fscanf(f, "%2s %d %d %lf", magic, &ww, &hh, &scale) != 4 ||
+  if (fscanf(f, "%2s %d %d", magic, &ww, &hh) != 3 ||
       (strcmp(magic, "Pf") != 0 && strcmp(magic, "PF") != 0) || ww <= 0 ||
-      hh <= 0 || scale == 0.0) {
+      hh <= 0) {
+    fclose(f);
+    return -2;
+  }
+  // Parse the scale token manually: fscanf("%lf") is locale-sensitive — a
+  // comma-decimal LC_NUMERIC would parse '-1.0' as '-1', leave '.0'
+  // unconsumed, and silently misalign the raster (ADVICE r2).  Only the
+  // sign (endianness) and non-zero-ness of the scale matter here.
+  char tok[64];
+  int ti = 0, c;
+  while ((c = fgetc(f)) != EOF && (c == ' ' || c == '\t' || c == '\n' || c == '\r')) {}
+  for (; c != EOF && c != ' ' && c != '\t' && c != '\n' && c != '\r';
+       c = fgetc(f)) {
+    if (ti < 63) tok[ti++] = (char)c;
+  }
+  tok[ti] = 0;
+  if (c != EOF) ungetc(c, f);
+  bool neg = tok[0] == '-';
+  bool nonzero = false, valid = ti > 0;
+  for (int i = (tok[0] == '-' || tok[0] == '+') ? 1 : 0; tok[i]; ++i) {
+    char d = tok[i];
+    if (d >= '1' && d <= '9') nonzero = true;
+    else if (d != '0' && d != '.' && d != ',') break;  // stop at exponent etc.
+  }
+  double scale = valid && nonzero ? (neg ? -1.0 : 1.0) : 0.0;
+  if (scale == 0.0) {
     fclose(f);
     return -2;
   }
@@ -237,8 +261,10 @@ int smt_write_pfm(const char* path, const float* buf, int h, int w,
   if (!f) return -2;
   const uint16_t one = 1;
   bool host_le = *(const uint8_t*)&one == 1;
-  fprintf(f, "P%c\n%d %d\n%f\n", channels == 1 ? 'f' : 'F',
-          w, h, host_le ? -1.0 : 1.0);
+  // Fixed literal scale: fprintf("%f") is locale-sensitive (a comma-decimal
+  // LC_NUMERIC would emit '-1,000000', unreadable by conforming parsers).
+  fprintf(f, "P%c\n%d %d\n%s\n", channels == 1 ? 'f' : 'F',
+          w, h, host_le ? "-1.0" : "1.0");
   for (int r = h - 1; r >= 0; --r)  // bottom-to-top
     if ((int64_t)fwrite(buf + (int64_t)r * w * channels, sizeof(float),
                         (size_t)w * channels, f) != (int64_t)w * channels) {

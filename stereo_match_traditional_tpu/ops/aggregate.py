@@ -603,7 +603,9 @@ def cross_aggregate(
     the 'auto' matmul path; it exists for exactness cross-checks, not
     speed — leave it None in production calls (every pipeline does).
     """
-    ones = jnp.ones(vol.shape[-2:], vol.dtype)
+    # Explicit f32: ``vol.dtype`` is float64 when a NumPy array flows in,
+    # and jnp.ones(float64) emits a truncation UserWarning on x64-less runs.
+    ones = jnp.ones(vol.shape[-2:], jnp.float32)
     sup_h_first = _vsum(_hsum(ones, arms.left, arms.right), arms.up, arms.down)
     sup_v_first = _hsum(_vsum(ones, arms.up, arms.down), arms.left, arms.right)
 

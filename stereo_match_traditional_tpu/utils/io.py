@@ -154,8 +154,12 @@ def write_pfm(path: str, data: np.ndarray, scale: float = 1.0) -> None:
     if scale <= 0:
         raise ValueError("scale must be positive (sign is the endian flag)")
     h, w = img.shape[:2]
+    # repr-style scale token: b"%f" renders 6 decimals, so a valid tiny
+    # scale (1e-7) would be written as '-0.000000' and rejected by
+    # read_pfm's own scale==0 check (ADVICE r2).
+    scale_tok = repr(-float(scale)).encode("ascii")
     with open(path, "wb") as f:
-        f.write(magic + b"\n%d %d\n%f\n" % (w, h, -scale))
+        f.write(magic + b"\n%d %d\n" % (w, h) + scale_tok + b"\n")
         f.write(img[::-1].astype("<f4").tobytes())
 
 
@@ -172,10 +176,23 @@ def read_gt_disparity(path: str, scale: float = None) -> np.ndarray:
       precision (unlike :func:`imread`, which is for display images).
 
     ``scale=None`` picks the format's convention: 1 for PFM, 4 for
-    integer images.
+    integer images — and prints the assumption to stderr, because other
+    datasets use other factors (Middlebury 2001 scale 8, Tsukuba 16,
+    KITTI uint16 scale 256) and a silently wrong default yields
+    plausible-looking but wrong bad-pixel rates (ADVICE r2).  Pass an
+    explicit ``scale`` (CLI: ``--gt-scale``) to silence it.
     """
     if scale is None:
         scale = 1.0 if path.lower().endswith(".pfm") else 4.0
+        if scale != 1.0:
+            import sys
+
+            print(
+                f"read_gt_disparity: assuming integer GT scale {scale:g} "
+                "(Middlebury 2003 convention); pass --gt-scale if your "
+                "dataset differs (2001: 8, Tsukuba: 16, KITTI: 256)",
+                file=sys.stderr,
+            )
     if path.lower().endswith(".pfm"):
         gt = read_pfm(path)
         if gt.ndim == 3:

@@ -210,7 +210,16 @@ def read_pfm(path: str) -> Optional[np.ndarray]:
     )
     if rc != 0:
         raise IOError(f"read_pfm({path}): header error {rc}")
-    buf = np.empty(h.value * w.value * ch.value, np.float32)
+    # Bound the allocation by the file size before trusting the header
+    # (a corrupt '1000000 1000000' header would otherwise trigger a
+    # multi-TB np.empty; mirrors io.read_pfm's truncation check).
+    need = h.value * w.value * ch.value
+    if need * 4 > os.path.getsize(path):
+        raise IOError(
+            f"read_pfm({path}): header claims {h.value}x{w.value}x{ch.value}"
+            " but the file is too small to hold that raster"
+        )
+    buf = np.empty(need, np.float32)
     rc = lib.smt_read_pfm(
         path.encode(), _f32p(buf), buf.size,
         ctypes.byref(h), ctypes.byref(w), ctypes.byref(ch), 0,
