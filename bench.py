@@ -3,15 +3,22 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MPixDisp/s", "vs_baseline": N}
 
-Workload = the reference's committed AD-Census driver
+Default workload = the reference's committed AD-Census driver
 (`AD-CensusV1/main.cpp:58-84`): Teddy-shaped 450x375 pair, dispRange 60,
 fused AD+Census9x7 cost L+R, cross-arm rectangle-mean aggregation, dual WTA.
-``vs_baseline`` is the ratio to an independent single-threaded C++
-re-implementation of the same path with the reference's per-pixel loop
-structure (`native/cpu_baseline/ad_census_baseline.cpp`) — the reference
-itself publishes no numbers (BASELINE.md).
+``--pipeline sad|ncc|asw|cblsm`` selects the other reference drivers'
+active-path workloads (ncc defaults to its committed D=200).
+
+``vs_baseline`` is the ratio to an independent C++ re-implementation of
+the same pipeline with the reference's per-pixel loop structure
+(`native/cpu_baseline/timing_baseline.cpp`; threading follows each
+reference project's OpenMP enablement) — the reference itself publishes
+no numbers (BASELINE.md).  Every pipeline has a non-null denominator
+(VERDICT r2 item 1); the recorded constants keep the ratio comparable
+round-over-round, with a live drift check (VERDICT r2 item 9).
 
 Usage: python bench.py [--pipeline ad_census] [--iters 12] [--cpu]
+                       [--measure-baseline]
 """
 
 import argparse
@@ -23,37 +30,86 @@ import sys
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-# Measured on this container's CPU (g++ -O2, best of 3); re-measured live
-# when the baseline binary is present/buildable.
-_RECORDED_CPU_BASELINE = 4.554  # MPixDisp/s
+# Recorded CPU-reference baselines, MPixDisp/s per pipeline at the
+# reference workload shape (375x450, D=60 / D=200 for ncc), measured on
+# this container with `native/cpu_baseline/timing_baseline.cpp`
+# (g++ -O2 -fopenmp, best-of-`iters` as logged).  `threads` follows each
+# reference project's OpenMP enablement (.vcxproj, SURVEY.md §5):
+# SAD/ASW/CBLSM parallel (4 cores here), NCC/AD-CensusV1 single-threaded.
+# The recorded constant is the official `vs_baseline` denominator —
+# round-over-round comparable; a cheap live run only sanity-checks drift
+# (>20% warns on stderr).  `--measure-baseline` re-measures and uses live.
+_BASELINE_SHAPE = {"ncc": (375, 450, 200)}
+_DEFAULT_SHAPE = (375, 450, 60)
+_RECORDED_CPU_BASELINES = {
+    # pipeline: (mpixdisp, threads, iters, ~seconds/run)
+    "sad": (23.041, 4, 3, 0.5),
+    "ncc": (0.777, 1, 1, 43.5),
+    "asw": (0.920, 4, 1, 11.0),
+    "ad_census": (5.010, 1, 3, 2.1),
+    "cblsm": (18.638, 4, 3, 0.6),
+}
+# Live drift check only when one run costs under this many seconds.
+_LIVE_CHECK_BUDGET_S = 10.0
 
 
-def _cpu_baseline(rows: int, cols: int, disp: int):
-    """CPU-reference MPixDisp/s for the *same* workload shape, or None.
-
-    The baseline binary accepts [rows cols disp]; always pass them so
-    ``vs_baseline`` never compares a non-default TPU workload against the
-    binary's built-in 375x450x60 defaults (per-pixel census/arm costs are
-    not disp-invariant).  The recorded constant only stands in for the
-    default shape when the binary cannot be built/run here.
-    """
-    exe = os.path.join(_REPO, "native", "cpu_baseline", "ad_census_baseline")
+def _run_baseline_binary(pipeline, rows, cols, disp, iters, threads, timeout):
+    exe = os.path.join(_REPO, "native", "cpu_baseline", "timing_baseline")
     src = exe + ".cpp"
-    try:
-        if not os.path.exists(exe) and os.path.exists(src):
-            subprocess.run(
-                ["g++", "-O2", "-o", exe, src], check=True, capture_output=True,
-                timeout=120,
+    if not os.path.exists(exe) and os.path.exists(src):
+        subprocess.run(
+            ["g++", "-O2", "-fopenmp", "-o", exe, src],
+            check=True, capture_output=True, timeout=120,
+        )
+    out = subprocess.run(
+        [exe, pipeline, str(rows), str(cols), str(disp), str(iters), str(threads)],
+        check=True, capture_output=True, text=True, timeout=timeout,
+    ).stdout
+    return float(json.loads(out.strip().splitlines()[-1])["value"])
+
+
+def _cpu_baseline(pipeline: str, rows: int, cols: int, disp: int,
+                  measure: bool = False):
+    """(mpixdisp, source) CPU-reference baseline for this workload, or
+    (None, None).
+
+    Recorded constants stand for the reference workload shape only; any
+    other shape must be measured live (per-pixel census/arm/window costs
+    are not shape-invariant).  ``measure=True`` forces a live measurement
+    (minutes for ncc/asw) and uses it as the denominator.
+    """
+    rec = _RECORDED_CPU_BASELINES.get(pipeline)
+    shape = _BASELINE_SHAPE.get(pipeline, _DEFAULT_SHAPE)
+    if rec is None:
+        return None, None
+    mpix, threads, iters, sec = rec
+    at_ref_shape = (rows, cols, disp) == shape
+    if measure or mpix is None or not at_ref_shape:
+        # full live measurement (also the path for non-default shapes)
+        try:
+            live = _run_baseline_binary(
+                pipeline, rows, cols, disp, iters, threads, timeout=3600
             )
-        if os.path.exists(exe):
-            out = subprocess.run(
-                [exe, str(rows), str(cols), str(disp)],
-                check=True, capture_output=True, text=True, timeout=300,
-            ).stdout
-            return float(json.loads(out.strip().splitlines()[-1])["value"])
-    except Exception:
-        pass
-    return _RECORDED_CPU_BASELINE if (rows, cols, disp) == (375, 450, 60) else None
+            return live, "measured"
+        except Exception:
+            return (mpix, "recorded") if (mpix and at_ref_shape) else (None, None)
+    # recorded constant + cheap live drift check
+    if sec is not None and sec * iters <= _LIVE_CHECK_BUDGET_S:
+        try:
+            live = _run_baseline_binary(
+                pipeline, rows, cols, disp, iters, threads, timeout=120
+            )
+            if abs(live - mpix) > 0.2 * mpix:
+                print(
+                    f"bench.py: live CPU baseline for {pipeline} drifted "
+                    f"{live:.2f} vs recorded {mpix:.2f} MPixDisp/s (>20%); "
+                    "container CPU contention? re-record with "
+                    "--measure-baseline if persistent",
+                    file=sys.stderr,
+                )
+        except Exception:
+            pass
+    return mpix, "recorded"
 
 
 def main() -> None:
@@ -71,7 +127,17 @@ def main() -> None:
     )
     ap.add_argument("--rows", type=int, default=375)
     ap.add_argument("--cols", type=int, default=450)
-    ap.add_argument("--disp", type=int, default=60)
+    ap.add_argument(
+        "--disp", type=int, default=None,
+        help="disparity range; default = the pipeline's reference workload "
+        "(200 for ncc per NCC_main.cpp:18, else 60)",
+    )
+    ap.add_argument(
+        "--measure-baseline", action="store_true",
+        help="re-measure the CPU reference baseline live and use it as the "
+        "vs_baseline denominator (minutes for ncc/asw); default uses the "
+        "recorded constant with a cheap drift check",
+    )
     ap.add_argument(
         "--multichip", action="store_true",
         help="also measure the tile-DP sharded path over every available "
@@ -95,6 +161,8 @@ def main() -> None:
 
     from stereo_match_traditional_tpu.config import disp_override_kw
 
+    if args.disp is None:
+        args.disp = _BASELINE_SHAPE.get(args.pipeline, _DEFAULT_SHAPE)[2]
     pipeline, cfg_cls = get_pipeline(args.pipeline)
     cfg = cfg_cls(**disp_override_kw(cfg_cls, args.disp))
 
@@ -124,9 +192,9 @@ def main() -> None:
         n_hi=max(args.iters, 3),
     )
     mpixdisp = args.rows * args.cols * args.disp / sec / 1e6
-    baseline = (
-        _cpu_baseline(args.rows, args.cols, args.disp)
-        if args.pipeline == "ad_census" else None
+    baseline, source = _cpu_baseline(
+        args.pipeline, args.rows, args.cols, args.disp,
+        measure=args.measure_baseline,
     )
     result = {
         "metric": f"{args.pipeline}_throughput",
@@ -134,6 +202,10 @@ def main() -> None:
         "unit": "MPixDisp/s",
         "vs_baseline": round(mpixdisp / baseline, 2) if baseline else None,
     }
+    if baseline:
+        result["baseline_mpixdisp"] = baseline
+        result["baseline_source"] = source
+        result["baseline_threads"] = _RECORDED_CPU_BASELINES[args.pipeline][1]
 
     if args.multichip and len(jax.devices()) > 1:
         from stereo_match_traditional_tpu.parallel import make_mesh, tiled_pipeline
