@@ -70,6 +70,97 @@ def _scan_unrolled(step, first, xs, unroll):
     return jnp.concatenate(pieces, axis=0), carry
 
 
+def _make_step(p1: float, l2_uses_dm1: bool):
+    """The SGM min-plus step ``(prev, prev_min, cost_t, p2_t) -> (out,
+    out_min)`` shared by the monolithic, sharded and banded passes."""
+
+    def step(prev, prev_min, c, p2_col):
+        inf_row = jnp.full(prev.shape[:-2] + (1,) + prev.shape[-1:], _BIG)
+        l1 = prev
+        if l2_uses_dm1:
+            l2 = jnp.concatenate([inf_row, prev[..., :-1, :]], axis=-2) + p1
+        else:
+            # reference vertical quirk: l2 = costLastPath[d+1] + p1 == prev[d]+p1
+            l2 = prev + p1
+        l3 = jnp.concatenate([prev[..., 1:, :], inf_row], axis=-2) + p1
+        l4 = (prev_min + p2_col)[..., None, :]
+        out = (
+            c
+            + jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
+            - prev_min[..., None, :]
+        )
+        return out, jnp.min(out, axis=-2)
+
+    return step
+
+
+def _scan_carry_unrolled(step, carry, xs, unroll=4):
+    """Like :func:`_scan_unrolled` but steps EVERY t = 0..N-1 from an
+    explicit incoming carry — the band-continuation form the streamed
+    executor uses.  Returns (aggregated [N, ...], final carry)."""
+    n = xs[0].shape[0]
+    k = max(1, unroll)
+    main = (n // k) * k
+
+    def body(c, chunk):
+        prev, prev_min = c
+        outs = []
+        for t in range(k):
+            prev, prev_min = step(prev, prev_min, *(x[t] for x in chunk))
+            outs.append(prev)
+        return (prev, prev_min), jnp.stack(outs)
+
+    xs_main = tuple(x[:main].reshape((main // k, k) + x.shape[1:]) for x in xs)
+    carry, ys = jax.lax.scan(body, carry, xs_main)
+    pieces = []
+    if main:
+        pieces.append(ys.reshape((main,) + ys.shape[2:]))
+    for t in range(main, n):  # remainder, at most k-1 steps
+        out, out_min = step(carry[0], carry[1], *(x[t] for x in xs))
+        carry = (out, out_min)
+        pieces.append(out[None])
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+    return out, carry
+
+
+def directional_pass_banded(
+    cost: jax.Array,
+    p2: jax.Array,
+    carry: Tuple[jax.Array, jax.Array],
+    reset: jax.Array,
+    p1: float,
+    l2_uses_dm1: bool = True,
+    unroll: int = 4,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Band continuation of one directional pass (the streamed executor's
+    building block — `parallel.streamed`).
+
+    ``cost``: [T, D, M] (T = this band's path steps); ``p2``: [T, M]
+    already evaluated against the gray neighbor each step consumes (the
+    caller supplies the cross-band neighbor row from its halo);
+    ``carry``: (prev [D, M], prev_min [M]) handed from the neighboring
+    band.  A ``(zeros, zeros)`` carry is the *exact* path seed: with a
+    d-constant carry K the recurrence gives ``min(l1..l4) == prev_min``
+    so ``out = cost`` bitwise — the same value the monolithic pass
+    assigns to the path's first pixel.  ``reset``: [T] bool marking rows
+    where the path (re)starts mid-band (the true last image row when the
+    image was padded to a band multiple); the step swaps in the identity
+    carry there.  ``reset=None`` skips the selects (a pass whose direction
+    cannot meet a mid-band path start, e.g. top-down with row padding only
+    at the bottom).  Returns (aggregated [T, D, M], outgoing carry).
+    """
+    base = _make_step(p1, l2_uses_dm1)
+    if reset is None:
+        return _scan_carry_unrolled(base, carry, (cost, p2), unroll)
+
+    def step(prev, prev_min, c, p2_col, rs):
+        prev = jnp.where(rs, jnp.zeros_like(prev), prev)
+        prev_min = jnp.where(rs, jnp.zeros_like(prev_min), prev_min)
+        return base(prev, prev_min, c, p2_col)
+
+    return _scan_carry_unrolled(step, carry, (cost, p2, reset), unroll)
+
+
 def _directional_pass(
     cost: jax.Array,
     gray: jax.Array,
@@ -102,24 +193,7 @@ def _directional_pass(
     else:
         prev_g = jnp.concatenate([gray[:1], gray[:-1]], axis=0)
     p2 = jnp.maximum(p1, p2_init / (jnp.abs(gray - prev_g) + 1.0))  # [N, ...]
-
-    def step(prev, prev_min, c, p2_col):
-        inf_row = jnp.full(prev.shape[:-2] + (1,) + prev.shape[-1:], _BIG)
-        l1 = prev
-        if l2_uses_dm1:
-            l2 = jnp.concatenate([inf_row, prev[..., :-1, :]], axis=-2) + p1
-        else:
-            # reference vertical quirk: l2 = costLastPath[d+1] + p1 == prev[d]+p1
-            l2 = prev + p1
-        l3 = jnp.concatenate([prev[..., 1:, :], inf_row], axis=-2) + p1
-        l4 = (prev_min + p2_col)[..., None, :]
-        out = (
-            c
-            + jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
-            - prev_min[..., None, :]
-        )
-        return out, jnp.min(out, axis=-2)
-
+    step = _make_step(p1, l2_uses_dm1)
     return _scan_unrolled(step, cost[0], (cost, p2), unroll)
 
 

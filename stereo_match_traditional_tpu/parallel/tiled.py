@@ -32,7 +32,10 @@ from stereo_match_traditional_tpu.models.cblsm import cblsm_post
 from stereo_match_traditional_tpu.models.sad import sad_post
 from stereo_match_traditional_tpu.ops import aggregate, volume, wta
 from stereo_match_traditional_tpu.parallel.halo import add_row_halo, crop_row_halo
-from stereo_match_traditional_tpu.parallel.scan_carry import scanline_optimize_sharded
+from stereo_match_traditional_tpu.parallel.scan_carry import (
+    scanline_canonical_sharded,
+    scanline_optimize_sharded,
+)
 from stereo_match_traditional_tpu.parallel.wta_shard import wta_sharded
 
 
@@ -117,7 +120,11 @@ def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     }
 
 
-def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
+def _ad_census_band_volumes(le, re, cfg, ro_ext, rows):
+    """Aggregated AD-Census volumes of one halo-extended row band —
+    the shared core of the tiled and streamed executors (uncropped;
+    callers drop the halo with :func:`crop_row_halo`).  Returns
+    ``(agg_l, agg_r)``, each ``[D, T + 2*halo, W]``."""
     d = cfg.disp_range
     vol_l = volume.ad_census_volume(
         le, re, d, cfg.sigma_c, cfg.sigma_s, cfg.census_rows, cfg.census_cols,
@@ -141,19 +148,43 @@ def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
         agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters)
     else:
         agg_l, agg_r = vol_l, vol_r
+    return agg_l, agg_r
 
+
+def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
+    agg_l, agg_r = _ad_census_band_volumes(le, re, cfg, ro_ext, rows)
     agg_l = crop_row_halo(agg_l, halo, 1)
     agg_r = crop_row_halo(agg_r, halo, 1)
+    canonical = cfg.aggregation == "cross_two_pass"
 
     if cfg.scanline is not None:
-        gray_tile = crop_row_halo(le, halo, 0)
-        agg_l = scanline_optimize_sharded(
-            agg_l, gray_tile, cfg.scanline, axis_name, rows
-        )
-    return {
+        left_tile = crop_row_halo(le, halo, 0)
+        if canonical:
+            # canonical (ADCensusOption) mode: tso-scheduled scanline on
+            # BOTH volumes, matching models.ad_census_pipeline
+            right_tile = crop_row_halo(re, halo, 0)
+            cp = cfg.cross_params
+            agg_l = scanline_canonical_sharded(
+                agg_l, left_tile, right_tile, cp.so_p1, cp.so_p2, cp.so_tso,
+                "left", axis_name, rows,
+            )
+            agg_r = scanline_canonical_sharded(
+                agg_r, right_tile, left_tile, cp.so_p1, cp.so_p2, cp.so_tso,
+                "right", axis_name, rows,
+            )
+        else:
+            agg_l = scanline_optimize_sharded(
+                agg_l, left_tile, cfg.scanline, axis_name, rows
+            )
+    out = {
         "disp_left": wta.wta(agg_l, "min"),
         "disp_right": wta.wta(agg_r, "min"),
     }
+    if canonical and cfg.run_post and cfg.cross_params.do_discontinuity_adjustment:
+        # the canonical post's discontinuity adjustment is row-local but
+        # needs this tile's aggregated left volume; hand it out sharded
+        out["agg_left"] = jnp.moveaxis(agg_l, 0, 1)  # [T, D, W]: rows leading
+    return out
 
 
 def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
@@ -226,15 +257,6 @@ def _check_tiled_support(name: str, cfg) -> None:
             f"unknown aggregation {cfg.aggregation!r}; "
             "expected 'rect_mean', 'cross_two_pass' or 'none'"
         )
-    elif name == "ad_census" and cfg.aggregation == "cross_two_pass" and (
-        cfg.scanline is not None or cfg.run_post
-    ):
-        # the canonical (ADCensusOption) mode changes the scanline to the
-        # tso-scheduled form on BOTH volumes and the post chain to
-        # lr-thres/region-voting/discontinuity (models.ad_census); the tile
-        # cores only implement the legacy scanline/post — running them here
-        # would silently return different semantics than the direct executor
-        unsupported = "ad_census cross_two_pass with scanline/run_post"
     if unsupported is not None:
         raise NotImplementedError(
             f"tiled execution does not implement {unsupported}; use the "
@@ -264,12 +286,15 @@ def tiled_pipeline(
     core = _TILE_CORES[name]
     halo = receptive_field_rows(name, cfg)
     n = mesh.shape[axis_name]
+    canonical = name == "ad_census" and getattr(cfg, "aggregation", "") == "cross_two_pass"
     post_fn = _post_sharded(name) if shard_post else None
-    if shard_post and post_fn is None:
+    if shard_post and (post_fn is None or canonical):
         raise NotImplementedError(
-            f"shard_post is implemented for ad_census/cblsm/asw, not {name!r}"
-            " (the SAD hole fill's unbounded ray reach, Sad.h:365, has no"
-            " exact row-halo'd form; use the gathered default)"
+            "shard_post is implemented for the legacy ad_census/cblsm/asw "
+            f"chains, not {'canonical ad_census' if canonical else repr(name)}"
+            " (SAD's unbounded hole-fill rays and the canonical region "
+            "voting's 5x-arm reach have no exact row-halo'd form; use the "
+            "gathered default)"
         )
 
     def run(left, right):
@@ -318,7 +343,29 @@ def tiled_pipeline(
             occl = occl[:h] if occl is not None else None
             mism = mism[:h] if mism is not None else None
         elif getattr(cfg, "run_post", False) and name in _POST:
-            disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)
+            if canonical:
+                # canonical (ADCensusOption) post on the gathered maps:
+                # LR at lrcheck_thres -> iterative region voting (arms
+                # recomputed once from the full left image — [H, W] ints,
+                # trivial next to the sharded volume work) -> optional
+                # row-local discontinuity adjustment on the tile-sharded
+                # aggregated left volume -> median; exactly
+                # models.ad_census.ad_census_post_canonical
+                from stereo_match_traditional_tpu.models.ad_census import (
+                    ad_census_post_canonical,
+                )
+
+                arms_l = aggregate.canonical_cross_arms(left, cfg.cross_params)
+                agg_full = tiles.get("agg_left")
+                agg_arg = (
+                    None if agg_full is None
+                    else jnp.moveaxis(agg_full[:h], 0, 1)  # [D, H, W]
+                )
+                disp_final, occl, mism = ad_census_post_canonical(
+                    disp_l, disp_r, agg_arg, arms_l, cfg
+                )
+            else:
+                disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)
         return StereoResult(disp_l, disp_r, disp_final, occl, mism)
 
     return run

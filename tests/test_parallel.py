@@ -26,7 +26,10 @@ from stereo_match_traditional_tpu.parallel import (
     scanline_optimize_sharded,
     wta_sharded,
 )
-from stereo_match_traditional_tpu.parallel.tiled import ad_census_tile_disp
+from stereo_match_traditional_tpu.parallel.tiled import (
+    ad_census_tile_disp,
+    tiled_pipeline,
+)
 from stereo_match_traditional_tpu.parallel.wta_shard import optimal_disparity_sharded
 from stereo_match_traditional_tpu.utils.synthetic import make_pair
 
@@ -234,6 +237,42 @@ def test_tiled_ad_census_with_scanline_and_post():
     both = np.isfinite(w) & np.isfinite(g)
     assert float(np.mean(np.isfinite(w) != np.isfinite(g))) <= 1e-2
     assert float(np.mean(np.abs(w[both] - g[both]) > 1e-3)) <= 1e-2
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("da", [False, True])
+def test_tiled_canonical_scanline_and_post(da):
+    """The canonical (ADCensusOption) family on the explicit-halo executor
+    (VERDICT r2 item 3): cross_two_pass aggregation + tso-scheduled
+    scanline on BOTH volumes (sharded via the all_to_all column reshard)
+    + the canonical post (LR at lrcheck_thres, region voting, optional
+    row-local discontinuity adjustment on the tile-sharded volume, median)
+    == the direct executor."""
+    cfg = cfgs.ADCensusConfig(
+        disp_range=8, aggregation="cross_two_pass",
+        scanline=cfgs.ScanlineConfig(), run_post=True,
+        cross_params=cfgs.CrossAggregatorParams(do_discontinuity_adjustment=da),
+    )
+    L, R, _ = make_pair(37, 48, 8, seed=3)  # rows a non-multiple of 8 tiles
+    fn, _ = get_pipeline("ad_census")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    mesh = make_mesh(8, ("tile",))
+    got = run_tiled("ad_census", L, R, cfg, mesh)
+    for field in ("disp_left", "disp_right", "disp_final", "occlusion", "mismatch"):
+        w, g = getattr(want, field), getattr(got, field)
+        assert (w is None) == (g is None), field
+        if w is None:
+            continue
+        assert _mismatch_fraction(g, w, ignore_cols=8) <= 5e-3, field
+
+
+def test_tiled_canonical_rejects_shard_post():
+    cfg = cfgs.ADCensusConfig(
+        disp_range=8, aggregation="cross_two_pass", run_post=True
+    )
+    mesh = make_mesh(8, ("tile",))
+    with pytest.raises(NotImplementedError):
+        tiled_pipeline("ad_census", cfg, mesh, shard_post=True)
 
 
 @pytest.mark.slow
