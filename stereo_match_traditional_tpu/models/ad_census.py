@@ -120,10 +120,17 @@ def ad_census_pipeline(
                 disp_final, occl, mism = ad_census_post(disp_l, disp_r, cfg)
     result = StereoResult(disp_l, disp_r, disp_final, occl, mism)
     if return_stages:
-        return result, {
+        stages = {
             "cost_left": vol_l, "cost_right": vol_r,
             "aggregated_left": agg_l, "aggregated_right": agg_r,
         }
+        if canonical:
+            # the canonical post re-enters from saved stages only with the
+            # left arm maps (region-voting support regions, VERDICT r2
+            # item 7); the rule that produced them is cfg.cross_params
+            for k in ("left", "right", "up", "down"):
+                stages[f"arms_left_{k}"] = getattr(arms_l, k)
+        return result, stages
     return result
 
 

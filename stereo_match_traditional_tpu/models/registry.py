@@ -26,7 +26,7 @@ def get_pipeline(name: str):
     return PIPELINES[name]
 
 
-def finish_from_volumes(name: str, vol_l, vol_r, cfg):
+def finish_from_volumes(name: str, vol_l, vol_r, cfg, arms_left=None):
     """Re-enter a pipeline at the WTA stage from saved stage volumes
     (SURVEY.md §5 "any stage re-entrant"; VERDICT r1 item 7).
 
@@ -37,10 +37,11 @@ def finish_from_volumes(name: str, vol_l, vol_r, cfg):
     the original run's disparity maps bit-for-bit.
 
     The canonical ad_census mode (``aggregation='cross_two_pass'`` with
-    ``run_post``) is rejected: its post chain (`ad_census_post_canonical`)
-    needs the left arm maps, which are not part of the saved stage set —
-    silently running the legacy post here would diverge from the original
-    run.
+    ``run_post``) additionally needs ``arms_left`` — the left arm maps its
+    region-voting post fills from, saved by ``return_stages`` /
+    ``--save-stages`` as ``arms_left_{left,right,up,down}`` (VERDICT r2
+    item 7).  Pass an `ops.aggregate.Arms`, a 4-tuple in that field order,
+    or a dict with those keys.
     """
     import jax.numpy as jnp
 
@@ -88,12 +89,27 @@ def finish_from_volumes(name: str, vol_l, vol_r, cfg):
         and cfg.run_post
         and cfg.aggregation == "cross_two_pass"
     ):
-        raise ValueError(
-            "finish_from_volumes cannot re-run the canonical "
-            "(cross_two_pass) post chain: ad_census_post_canonical needs "
-            "the left arm maps, which saved stages do not include — re-run "
-            "the full pipeline, or finish with run_post=False"
+        from stereo_match_traditional_tpu.models.ad_census import (
+            ad_census_post_canonical,
         )
+        from stereo_match_traditional_tpu.ops.aggregate import Arms
+
+        if arms_left is None:
+            raise ValueError(
+                "finish_from_volumes: the canonical (cross_two_pass) post "
+                "chain needs the left arm maps — pass arms_left= (saved by "
+                "--save-stages / return_stages as arms_left_{left,right,"
+                "up,down}), or finish with run_post=False"
+            )
+        if isinstance(arms_left, dict):
+            arms = Arms(*(jnp.asarray(arms_left[k])
+                          for k in ("left", "right", "up", "down")))
+        elif isinstance(arms_left, Arms):
+            arms = arms_left
+        else:
+            arms = Arms(*(jnp.asarray(a) for a in arms_left))
+        fin, occl, mism = ad_census_post_canonical(disp_l, disp_r, vol_l, arms, cfg)
+        return StereoResult(disp_l, disp_r, fin, occl, mism)
     post_fn = ad_census_post if name == "ad_census" else cblsm_post
     if cfg.run_post:
         fin, occl, mism = post_fn(disp_l, disp_r, cfg)
