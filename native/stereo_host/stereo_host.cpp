@@ -42,28 +42,62 @@ void smt_rgb_to_gray_u8(const uint8_t* rgb, int64_t n_px, uint8_t* out) {
 static inline double inv_gamma(double c) {
   return c > 0.04045 ? std::pow((c + 0.055) / 1.055, 2.4) : c / 12.92;
 }
-static inline double lab_f(double t) {
-  return t > 0.008856 ? std::cbrt(t) : 7.787 * t + 16.0 / 116.0;
-}
 
 // RGB -> OpenCV 8-bit Lab (L*255/100, a+128, b+128, D65) — the ASW driver's
 // `cvtColor(CV_BGR2Lab)` (`ASW/ASWeight.cpp:33-34`).
+// OpenCV's FIXED-POINT u8 Lab path (RGB2Lab_b / initLabTabs in
+// modules/imgproc/src/color.cpp): sRGB gamma LUT at 255*8 scale,
+// cvRound'ed XYZ matrix at 1<<12 with D65-divided rows, cube-root LUT at
+// 1<<15, descale-with-rounding — bit-identical to utils/io.rgb_to_lab_u8.
 void smt_rgb_to_lab_u8(const uint8_t* rgb, int64_t n_px, uint8_t* out) {
+  enum { kShift = 12, kGamma = 3, kShift2 = kShift + kGamma };
+  static int32_t gamma_tab[256];
+  static int32_t cbrt_tab[256 * 3 / 2 * (1 << kGamma)];
+  static int64_t coef[3][3];
+  static bool init = false;
+  if (!init) {
+    const double wp[3] = {0.950456, 1.0, 1.088754};
+    const double m[3][3] = {{0.412453, 0.357580, 0.180423},
+                            {0.212671, 0.715160, 0.072169},
+                            {0.019334, 0.119193, 0.950227}};
+    for (int i = 0; i < 256; ++i)
+      gamma_tab[i] = (int32_t)std::nearbyint(255.0 * (1 << kGamma) *
+                                             inv_gamma(i / 255.0));
+    const int n = 256 * 3 / 2 * (1 << kGamma);
+    for (int i = 0; i < n; ++i) {
+      double t = i / (255.0 * (1 << kGamma));
+      double f = t < 0.008856 ? t * 7.787 + 16.0 / 116.0 : std::cbrt(t);
+      cbrt_tab[i] = (int32_t)std::nearbyint((1 << kShift2) * f);
+    }
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j)
+        coef[i][j] = (int64_t)std::nearbyint(m[i][j] * (1 << kShift) / wp[i]);
+    init = true;
+  }
+  const int64_t half = 1 << (kShift - 1), half2 = 1 << (kShift2 - 1);
+  const int64_t l_scale = (116 * 255 + 50) / 100;
+  const int64_t l_shift = -((16LL * 255 * (1 << kShift2) + 50) / 100);
+  const int kTabMax = 256 * 3 / 2 * (1 << kGamma) - 1;
   for (int64_t i = 0; i < n_px; ++i) {
     const uint8_t* p = rgb + 3 * i;
-    double r = inv_gamma(p[0] / 255.0);
-    double g = inv_gamma(p[1] / 255.0);
-    double b = inv_gamma(p[2] / 255.0);
-    double x = (0.412453 * r + 0.357580 * g + 0.180423 * b) / 0.950456;
-    double y = 0.212671 * r + 0.715160 * g + 0.072169 * b;
-    double z = (0.019334 * r + 0.119193 * g + 0.950227 * b) / 1.088754;
-    double fx = lab_f(x), fy = lab_f(y), fz = lab_f(z);
-    double L = y > 0.008856 ? 116.0 * fy - 16.0 : 903.3 * y;
-    double a = 500.0 * (fx - fy) + 128.0;
-    double bb = 200.0 * (fy - fz) + 128.0;
-    out[3 * i + 0] = (uint8_t)std::min(255.0, std::max(0.0, std::round(L * 255.0 / 100.0)));
-    out[3 * i + 1] = (uint8_t)std::min(255.0, std::max(0.0, std::round(a)));
-    out[3 * i + 2] = (uint8_t)std::min(255.0, std::max(0.0, std::round(bb)));
+    int64_t r = gamma_tab[p[0]], g = gamma_tab[p[1]], b = gamma_tab[p[2]];
+    int64_t f[3];
+    for (int k = 0; k < 3; ++k) {
+      int64_t idx =
+          (r * coef[k][0] + g * coef[k][1] + b * coef[k][2] + half) >> kShift;
+      if (idx < 0) idx = 0;
+      if (idx > kTabMax) idx = kTabMax;
+      f[k] = cbrt_tab[idx];
+    }
+    int64_t L = (l_scale * f[1] + l_shift + half2) >> kShift2;
+    int64_t a = (500 * (f[0] - f[1]) + (128LL << kShift2) + half2) >> kShift2;
+    int64_t bb = (200 * (f[1] - f[2]) + (128LL << kShift2) + half2) >> kShift2;
+    auto sat = [](int64_t v) -> uint8_t {
+      return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    };
+    out[3 * i + 0] = sat(L);
+    out[3 * i + 1] = sat(a);
+    out[3 * i + 2] = sat(bb);
   }
 }
 
