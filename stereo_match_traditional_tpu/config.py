@@ -87,6 +87,11 @@ class ASWConfig:
     use_pallas: Optional[bool] = None  # None = auto (Pallas kernel on TPU,
                                      # jnp scan elsewhere); the kernel is
                                      # ~2.8x faster on-chip (kernels/asw_pallas)
+    approx: str = "none"             # 'none' (exact, reference parity) |
+                                     # 'grid' (opt-in intensity-binned
+                                     # bilateral grid, non-parity — see
+                                     # volume.asw_volume_approx_grid)
+    approx_bins: int = 12            # intensity centers for approx='grid'
     variant: str = "bilateral"       # 'bilateral' (active) | 'lab' (dormant
                                      # Yoon-Kweon Lab weights, ASW.h:49-175;
                                      # requires Lab images at call time)

@@ -62,6 +62,9 @@ def asw_pipeline(
         truncation=cfg.truncation,
     )
     if cfg.variant == "lab":
+        if cfg.approx != "none":
+            raise ValueError("approx='grid' is implemented for the active "
+                             "bilateral variant, not variant='lab'")
         # dormant Yoon-Kweon Lab-weight variant (`ASW/ASW.h:49-175`); the
         # driver would convert the color pair with cvtColor(CV_BGR2Lab)
         # (`ASWeight.cpp:33-34`, see utils.io.rgb_to_lab_u8)
@@ -91,7 +94,18 @@ def asw_pipeline(
 
         use_pallas = jax.default_backend() == "tpu"
     with stage_scope("cost_volume"):
-        if use_pallas:
+        if cfg.approx == "grid":
+            # opt-in constant-time approximation (non-parity; see
+            # volume.asw_volume_approx_grid and BASELINE.md for the
+            # measured bad-2.0 delta)
+            vol_l = volume.asw_volume_approx_grid(
+                left, right, bins=cfg.approx_bins, **kw
+            )
+        elif cfg.approx != "none":
+            raise ValueError(
+                f"unknown ASW approx {cfg.approx!r}; expected 'none' or 'grid'"
+            )
+        elif use_pallas:
             from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
 
             vol_l = asw_volume_pallas(left, right, view="left", **kw)

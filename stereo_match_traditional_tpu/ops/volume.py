@@ -668,6 +668,79 @@ def asw_volume_right(
     return vol[:, :, ::-1]
 
 
+def _gauss_band_matrix(n: int, radius: int, sigma: float) -> jax.Array:
+    """Banded Gaussian matrix ``G[q, p] = exp(-(q-p)^2 / 2 sigma^2)`` for
+    ``|q - p| <= radius``, 0 outside — a truncated 1-D Gaussian blur as an
+    MXU matmul.  Two of these factor the exact 2-D ASW space mask
+    (`getGausssianMask` `ASW/ASW.h:16-35` is separable)."""
+    i = jnp.arange(n)
+    dqp = (i[:, None] - i[None, :]).astype(jnp.float32)
+    g = jnp.exp(-(dqp * dqp) / (2.0 * sigma * sigma))
+    return jnp.where(jnp.abs(dqp) <= radius, g, 0.0)
+
+
+def asw_volume_approx_grid(
+    left: jax.Array,
+    right: jax.Array,
+    disp_range: int,
+    win_size: int = 11,
+    space_sigma: float = 50.0,
+    color_sigma: float = 30.0,
+    truncation: float = 40.0,
+    bins: int = 12,
+) -> jax.Array:
+    """APPROXIMATE left-view ASW volume via an intensity-binned bilateral
+    grid (PBFIC / Durand-Dorsey style) — the classic constant-time
+    bilateral trade, opt-in through ``ASWConfig(approx='grid')``.
+
+    **Non-parity by design** (VERDICT r2 item 6): the exact kernel's cost
+    is ``sum_o wL(p,o) wR(p-d,o) e / sum w`` with ~10 VPU ops per
+    (pixel, offset, d) — measured at its VPU floor (~76 ms/volume at
+    Teddy, `ops/kernels/asw_pallas.py`).  This path approximates it with
+
+        J_b(p) = blur(k_b * e_d)(p) / blur(k_b)(p),
+        cost(p, d) = interp_b J_b  at  I_L(p),
+
+    where ``k_b = exp(-(I_L - c_b)^2 / 2 sigma_c^2)`` over ``bins``
+    intensity centers, ``blur`` is the exact truncated-Gaussian space mask
+    as two banded MXU matmuls, and the output linearly interpolates the
+    two nearest bins (hat weights — a partition of unity).  Two
+    approximations vs the reference (`ASW/ASW.h:210-257`): the *right*
+    window weight ``wR`` is dropped (single-guidance grid), and the color
+    weight is evaluated at ``bins`` quantized centers instead of per
+    pixel.  The bad-2.0 delta on the synthetic suite is recorded in
+    BASELINE.md; use the default exact path for reference parity.
+    """
+    lf = jnp.asarray(left).astype(jnp.float32)
+    rf = jnp.asarray(right).astype(jnp.float32)
+    h, w = lf.shape
+    radius = win_size + 1
+    shifted = shifted_stack(rf, disp_range, "left")
+    e = jnp.minimum(jnp.abs(lf[None] - shifted), truncation)   # [D, H, W]
+
+    gh = _gauss_band_matrix(h, radius, space_sigma)
+    gw = _gauss_band_matrix(w, radius, space_sigma)
+    hi = jax.lax.Precision.HIGHEST
+
+    def blur(x):
+        t = jnp.einsum("hq,...qw->...hw", gh, x,
+                       preferred_element_type=jnp.float32, precision=hi)
+        return jnp.einsum("...hw,wk->...hk", t, gw,
+                          preferred_element_type=jnp.float32, precision=hi)
+
+    centers = jnp.linspace(0.0, 255.0, bins)
+    step = 255.0 / (bins - 1)
+    out = jnp.zeros_like(e)
+    inv2sc = 1.0 / (2.0 * color_sigma * color_sigma)
+    for b in range(bins):
+        c = centers[b]
+        kb = jnp.exp(-((lf - c) ** 2) * inv2sc)                # [H, W]
+        jb = blur(kb[None] * e) / jnp.maximum(blur(kb), 1e-20)[None]
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(lf - c) / step)   # [H, W]
+        out = out + hat[None] * jb
+    return border_fill(out, "left")
+
+
 def asw_lab_volume(
     left_gray: jax.Array,
     right_gray: jax.Array,

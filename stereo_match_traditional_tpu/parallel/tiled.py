@@ -248,6 +248,8 @@ def _check_tiled_support(name: str, cfg) -> None:
         unsupported = f"ncc variant={cfg.variant!r}"
     elif name == "asw" and cfg.variant != "bilateral":
         unsupported = f"asw variant={cfg.variant!r}"
+    elif name == "asw" and getattr(cfg, "approx", "none") != "none":
+        unsupported = f"asw approx={cfg.approx!r}"
     elif name == "cblsm" and (cfg.cost != "ad" or cfg.aggregation != "rect_mean"):
         unsupported = f"cblsm cost={cfg.cost!r} aggregation={cfg.aggregation!r}"
     elif name == "ad_census" and cfg.aggregation not in (
