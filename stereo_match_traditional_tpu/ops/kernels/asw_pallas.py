@@ -240,6 +240,11 @@ def _asw_pallas_left(
             pltpu.VMEM((disp_range, _TH, _TW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # Mosaic's default scoped-vmem limit is 16 MiB; at serving ranges
+        # (D=128) this kernel's scratch + unrolled shift-table temporaries
+        # need ~16.5 MiB (measured: 480 KiB over on a 720p/D=128 band).
+        # v5e VMEM is 128 MiB — raise the scope so D up to ~512 fits.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(lp, rp)
     return border_fill(vol[:, :h, :w], "left")
