@@ -95,6 +95,12 @@ def _arm_one_direction(
         jnp.arange(1, n + 1) <= cfg.sec_length, float(cfg.tao1), float(cfg.tao2)
     ).reshape(n, 1, 1)
     ok = inb & (diff <= tao)
+    # Negative result (round 3): replacing cumprod+sum with a single
+    # argmin-for-first-False pass measures FASTER standalone (0.82 ->
+    # 0.56 ms per image on v5e) but SLOWER inside the fused flagship
+    # program (9.80 -> 9.92 ms e2e) — XLA fuses the cumprod chain into
+    # the shift producers, while the argmin reduction forces a separate
+    # materialization.  Keep the in-context optimum.
     leading = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
 
     # min-1 rule: first offset failed the threshold (not the border) and the
@@ -180,6 +186,8 @@ def _canonical_arm_one_direction(
     )
     beyond_l2 = (offs[:, None, None] > params.cross_l2).reshape(n, 1, 1)
     ok = ok & (~beyond_l2 | (d_center < params.cross_t2))
+    # cumprod+sum fuses best in-context (see _arm_one_direction's
+    # negative-result note on the argmin alternative)
     return jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0).astype(jnp.int32)
 
 

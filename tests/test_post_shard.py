@@ -113,20 +113,20 @@ def test_asw_shard_post_padding_rows_cannot_perturb_normalize():
     np.testing.assert_array_equal(np.asarray(got)[:h_real], np.asarray(want))
 
 
-def test_tiled_rejects_canonical_scanline_post():
-    """The tile cores implement the legacy scanline/post; the canonical
-    (cross_two_pass) mode must be rejected, not silently downgraded."""
+def test_tiled_accepts_canonical_streamed_rejects():
+    """Round 3: the tiled executor runs the canonical (cross_two_pass)
+    scanline/post (invariance asserted in
+    test_parallel.test_tiled_canonical_scanline_and_post); streamed still
+    rejects it rather than silently downgrading to the legacy semantics."""
     mesh = make_mesh(8, ("tile",))
     from stereo_match_traditional_tpu.config import ScanlineConfig
+    from stereo_match_traditional_tpu.parallel.streamed import streamed_pipeline
 
     for kw in (dict(scanline=ScanlineConfig()), dict(run_post=True)):
         cfg = ADCensusConfig(disp_range=8, aggregation="cross_two_pass", **kw)
-        with pytest.raises(NotImplementedError, match="cross_two_pass"):
-            tiled_pipeline("ad_census", cfg, mesh)
-    # plain canonical aggregation (WTA only) stays supported
-    tiled_pipeline(
-        "ad_census", ADCensusConfig(disp_range=8, aggregation="cross_two_pass"), mesh
-    )
+        tiled_pipeline("ad_census", cfg, mesh)  # builds without raising
+        with pytest.raises(NotImplementedError, match="canonical"):
+            streamed_pipeline("ad_census", cfg)
 
 
 def test_ncc_tile_disp_rejects_shifted_variant():
