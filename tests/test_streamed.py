@@ -84,6 +84,25 @@ def test_streamed_scanline_matches_untiled(scan_cfg):
         assert frac == 0.0, (field, frac)
 
 
+@pytest.mark.slow
+def test_streamed_scanline_single_band():
+    """h < row_tile: one band holds the whole image plus padded tail rows;
+    the bottom-up pass must reset its carry at the true last row."""
+    d = 8
+    cfg = cfgs.ADCensusConfig(disp_range=d, scanline=cfgs.ScanlineConfig(),
+                              run_post=True)
+    L, R, _ = make_pair(12, 40, d, seed=4)
+    fn, _ = get_pipeline("ad_census")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    got = run_streamed("ad_census", L, R, cfg, row_tile=16)
+    for field in ("disp_left", "disp_right", "disp_final"):
+        frac = _mismatch(
+            getattr(got, field), getattr(want, field), ignore_cols=d,
+            side="right" if field == "disp_right" else "left",
+        )
+        assert frac == 0.0, (field, frac)
+
+
 def test_streamed_rejects_canonical_scanline():
     """The tso-scheduled canonical scanline (cross_two_pass mode) is not
     streamed; the guard must reject rather than silently run the legacy
