@@ -26,7 +26,8 @@ from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.models.registry import get_pipeline
 
 
-def batched_pipeline(name: str, cfg=None, method: str = "map"):
+def batched_pipeline(name: str, cfg=None, method: str = "map",
+                     mesh=None, axis_name: str = "batch"):
     """Jitted ``(left [B,H,W], right [B,H,W]) -> StereoResult`` with every
     result field batched along axis 0.
 
@@ -36,7 +37,14 @@ def batched_pipeline(name: str, cfg=None, method: str = "map"):
     (vmap batches the gather operand past the ~110 MB fast-source cliff —
     see `aggregate._rect_sums_shared_bounds`).  ``method='vmap'`` fuses the
     batch into every op — better only for small images / window pipelines
-    dominated by fixed per-op overhead."""
+    dominated by fixed per-op overhead.
+
+    ``mesh``: batch-data-parallel scale-out — the batch axis shards over
+    ``mesh[axis_name]`` (each device runs its examples with the chosen
+    method; embarrassingly parallel, zero collectives — the throughput
+    complement to `parallel.tiled`'s per-pair latency sharding).  The
+    batch must divide the device count; results equal the unsharded run
+    bit-for-bit (per-example programs are identical)."""
     fn, cfg_cls = get_pipeline(name)
     if cfg is None:
         cfg = cfg_cls()
@@ -45,10 +53,31 @@ def batched_pipeline(name: str, cfg=None, method: str = "map"):
         return fn(l, r, cfg)
 
     if method == "vmap":
-        return jax.jit(jax.vmap(one))
-    if method == "map":
-        return jax.jit(lambda ls, rs: jax.lax.map(lambda lr: one(*lr), (ls, rs)))
-    raise ValueError(f"method must be 'map' or 'vmap': {method}")
+        base = jax.vmap(one)
+    elif method == "map":
+        base = lambda ls, rs: jax.lax.map(lambda lr: one(*lr), (ls, rs))  # noqa: E731
+    else:
+        raise ValueError(f"method must be 'map' or 'vmap': {method}")
+    if mesh is None:
+        return jax.jit(base)
+
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    spec = P(axis_name)
+    sharded = jax.shard_map(
+        base, mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False
+    )
+
+    def run(ls, rs):
+        if ls.shape[0] % n:
+            raise ValueError(
+                f"batch {ls.shape[0]} must divide the {axis_name} axis ({n});"
+                " serve_pairs pads partial batches"
+            )
+        return sharded(ls, rs)
+
+    return jax.jit(run)
 
 
 def serve_pairs(
@@ -56,15 +85,17 @@ def serve_pairs(
     pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
     cfg=None,
     batch_size: int = 1,
+    mesh=None,
 ) -> Iterator[Tuple[np.ndarray, ...]]:
     """Stream disparity maps for an iterable of (left, right) uint8 pairs.
 
     Pads the final partial batch (results are cropped back).  Pair shapes
     must be uniform — the engine compiles one program per (batch, H, W).
     Use ``utils.native.PairLoader`` as the iterable to overlap decode with
-    device compute.
+    device compute; pass ``mesh`` to shard each batch over devices
+    (batch-DP — ``batch_size`` must then divide the mesh's batch axis).
     """
-    run = batched_pipeline(name, cfg)
+    run = batched_pipeline(name, cfg, mesh=mesh)
     buf_l, buf_r = [], []
 
     def flush():

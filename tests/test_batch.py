@@ -55,3 +55,24 @@ def test_serve_with_native_loader(tmp_path):
     loader = native.PairLoader(paths, threads=2, depth=2)
     out = list(serve_pairs("sad", loader, cfg, batch_size=2))
     assert len(out) == 4 and out[0].shape == (32, 44)
+
+
+def test_batched_pipeline_mesh_batch_dp():
+    """Batch-DP: the batch axis sharded over a device mesh equals the
+    unsharded batch bit-for-bit (per-example programs are identical;
+    zero collectives)."""
+    import pytest
+
+    from stereo_match_traditional_tpu.parallel import make_mesh
+
+    cfg = cfgs.SADConfig(max_disparity=8, winsize=1)
+    pairs = _pairs(8)
+    ls = np.stack([p[0] for p in pairs])
+    rs = np.stack([p[1] for p in pairs])
+    want = batched_pipeline("sad", cfg)(jnp.asarray(ls), jnp.asarray(rs))
+    mesh = make_mesh(4, ("batch",))
+    run = batched_pipeline("sad", cfg, mesh=mesh)
+    got = run(jnp.asarray(ls), jnp.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(want.disp_left), np.asarray(got.disp_left))
+    with pytest.raises(ValueError, match="divide"):
+        run(jnp.asarray(ls[:6]), jnp.asarray(rs[:6]))
