@@ -413,10 +413,23 @@ def main(argv=None) -> int:
     info.set_defaults(func=cmd_info)
 
     args = ap.parse_args(argv)
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # persistent compile cache: repeated CLI invocations of the same
+        # pipeline/shape skip the (remote, ~8-40 s) XLA compile.  JAX's
+        # JAX_COMPILATION_CACHE_DIR env var still overrides.
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(
+                    os.path.expanduser("~"), ".cache", "stereo_match_tpu_xla"
+                ),
+            )
+    except Exception:
+        pass
     return args.func(args)
 
 
