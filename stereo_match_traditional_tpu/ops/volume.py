@@ -372,6 +372,8 @@ def ncc_shifted_depth(
     view: str = "left",
     add_constant: bool = False,
     depth_scale: int = 3,
+    row_offset: int = 0,
+    global_rows: int = None,
 ) -> jax.Array:
     """Dormant whole-image shifted-NCC depth map (`ncc`, `NCC/NCC.h:117-272`,
     disabled at `NCC_main.cpp:24`).
@@ -393,6 +395,19 @@ def ncc_shifted_depth(
     if add_constant:
         rf = rf + 10.0
     h, w = lf.shape
+    tiled = global_rows is not None  # row_offset may be traced (axis_index)
+    if global_rows is None:
+        global_rows = h
+    grow = jnp.arange(h) + row_offset  # global row ids (tile support)
+    if tiled:
+        # A halo-extended row tile carries edge-replicated rows beyond the
+        # global image; the border-TRUNCATED window sums below must treat
+        # those as absent (zero), and the per-pixel truncation counts must
+        # use global coordinates — then a tiled run is bit-identical to
+        # the untiled one (parallel.tiled `_ncc_tile` variant='shifted').
+        inrow = ((grow >= 0) & (grow < global_rows))[:, None]
+        lf = jnp.where(inrow, lf, 0.0)
+        rf = jnp.where(inrow, rf, 0.0)
 
     cols = jnp.arange(w)
     offs = jnp.arange(1, max_offset + 1)[:, None]  # [O, 1]
@@ -415,9 +430,9 @@ def ncc_shifted_depth(
     s_mov2 = box_sum_same(moving * moving, k, k)
     s_cross = box_sum_same(fixed[None] * moving, k, k)
 
-    ii = jnp.arange(h)[:, None]
+    ii = grow[:, None]
     jj = jnp.arange(w)[None, :]
-    rows_in = jnp.minimum(ii + k, h - 1) - jnp.maximum(ii - k, 0) + 1
+    rows_in = jnp.minimum(ii + k, global_rows - 1) - jnp.maximum(ii - k, 0) + 1
     cols_in = jnp.minimum(jj + k, w - 1) - jnp.maximum(jj - k, 0) + 1
     cnt = (rows_in * cols_in).astype(jnp.float32)           # true element count
     n = ((rows_in - 1) * (cols_in - 1)).astype(jnp.float32)  # quirky divisor

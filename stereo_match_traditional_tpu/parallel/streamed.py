@@ -90,18 +90,26 @@ def streamed_pipeline(name: str, cfg, row_tile: int = 128):
     halo = receptive_field_rows(name, cfg)
     t = row_tile
 
-    def run(left, right):
+    def run(left, right, *aux):
+        # ``aux``: extra per-pair images banded like left/right (asw 'lab')
         h = left.shape[0]
         nb = -(-h // t)
         hp = nb * t
-        pad = [(halo, hp - h + halo)] + [(0, 0)] * (left.ndim - 1)
-        lp = jnp.pad(left, pad, mode="edge")
-        rp = jnp.pad(right, pad, mode="edge")
+
+        def padded(x):
+            pad = [(halo, hp - h + halo)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad, mode="edge")
+
+        lp, rp = padded(left), padded(right)
+        ap = tuple(padded(a) for a in aux)
 
         def band(b):
             le = lax.dynamic_slice_in_dim(lp, b * t, t + 2 * halo, 0)
             re = lax.dynamic_slice_in_dim(rp, b * t, t + 2 * halo, 0)
-            return core(le, re, cfg, b * t - halo, h, halo, None)
+            ae = tuple(
+                lax.dynamic_slice_in_dim(a, b * t, t + 2 * halo, 0) for a in ap
+            )
+            return core(le, re, cfg, b * t - halo, h, halo, None, ae)
 
         tiles = lax.map(band, jnp.arange(nb))
 
@@ -233,7 +241,9 @@ def _ad_census_scanline_streamed(cfg, row_tile: int):
 _STREAMED_CACHE = {}
 
 
-def run_streamed(name: str, left, right, cfg=None, row_tile: int = 128) -> StereoResult:
+def run_streamed(
+    name: str, left, right, cfg=None, row_tile: int = 128, aux=()
+) -> StereoResult:
     """One-shot convenience wrapper (compiled program cached per config)."""
     if cfg is None:
         from stereo_match_traditional_tpu.models.registry import get_pipeline
@@ -243,4 +253,4 @@ def run_streamed(name: str, left, right, cfg=None, row_tile: int = 128) -> Stere
     fn = _STREAMED_CACHE.get(key)
     if fn is None:
         fn = _STREAMED_CACHE[key] = jax.jit(streamed_pipeline(name, cfg, row_tile))
-    return fn(jnp.asarray(left), jnp.asarray(right))
+    return fn(jnp.asarray(left), jnp.asarray(right), *(jnp.asarray(a) for a in aux))

@@ -50,6 +50,8 @@ def receptive_field_rows(name: str, cfg) -> int:
     if name == "sad":
         return cfg.winsize + 1                      # window radius, Sad.h:109
     if name == "ncc":
+        if cfg.variant == "shifted":
+            return cfg.alt_kernel                   # 11x11 window, NCC.h:122
         return cfg.win_size                         # window radius, NCC.h:15
     if name == "asw":
         return cfg.win_size + 1                     # support radius, ASW.h:333
@@ -61,7 +63,19 @@ def receptive_field_rows(name: str, cfg) -> int:
             return cfg.cross_params.cross_l1 * cfg.cross_params.num_iters + census_rf
         return census_rf
     if name == "cblsm":
-        return cfg.arms.max_length * cfg.agg_passes # AD cost has no row reach
+        cost_rf = {
+            "ad": 0,                                # no row reach
+            "sad_mean": cfg.win_size + 1,           # window radius
+            "sad_mean_v4": cfg.win_size + 1,
+            "local_mean": cfg.arms.max_length,      # arm-region mean
+        }[cfg.cost]
+        agg_rf = {
+            "rect_mean": cfg.arms.max_length * cfg.agg_passes,
+            "rect_mean_v4": cfg.arms.max_length,    # single V4 application
+            "cross_two_pass": cfg.cross_params.cross_l1 * cfg.cross_params.num_iters,
+            "none": 0,
+        }[cfg.aggregation]
+        return cost_rf + agg_rf
     raise KeyError(name)
 
 
@@ -70,7 +84,7 @@ def receptive_field_rows(name: str, cfg) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _sad_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
+def _sad_tile(le, re, cfg, ro_ext, rows, halo, axis_name, aux=()):
     vol_l = volume.sad_volume(le, re, cfg.max_disparity, cfg.winsize, "left")
     out = {
         "disp_left": crop_row_halo(
@@ -83,7 +97,14 @@ def _sad_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     return out
 
 
-def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
+def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name, aux=()):
+    if cfg.variant == "shifted":
+        depth = volume.ncc_shifted_depth(
+            le, re, cfg.alt_max_offset, cfg.alt_kernel, "left",
+            cfg.alt_add_constant, cfg.alt_depth_scale,
+            row_offset=ro_ext, global_rows=rows,
+        )
+        return {"disp_left": crop_row_halo(depth, halo, 0)}
     vol, interior = volume.ncc_volume(
         le, re, cfg.disp_range, cfg.win_size, cfg.invalid_mode, cfg.eps,
         row_offset=ro_ext, global_rows=rows,
@@ -92,7 +113,7 @@ def _ncc_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     return {"disp_left": crop_row_halo(disp, halo, 0)}
 
 
-def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
+def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name, aux=()):
     kw = dict(
         disp_range=cfg.disp_range,
         win_size=cfg.win_size,
@@ -100,15 +121,28 @@ def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
         color_sigma=cfg.color_sigma,
         truncation=cfg.truncation,
     )
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
-
-        vol_l = asw_volume_pallas(le, re, view="left", **kw)
+    if cfg.variant == "lab":
+        # dormant Lab-weight variant: the Lab pairs arrive as halo-extended
+        # aux tiles (tiled_pipeline(..., aux=(left_lab, right_lab)))
+        if len(aux) != 2:
+            raise ValueError(
+                "asw variant='lab' under the tiled executor needs the Lab "
+                "pair as aux inputs: tiled_pipeline(...)(left, right, "
+                "left_lab, right_lab)"
+            )
+        vol_l = volume.asw_lab_volume(
+            le, re, aux[0], aux[1], faithful_lut=cfg.lab_faithful_lut, **kw
+        )
     else:
-        vol_l = volume.asw_volume(le, re, **kw)
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from stereo_match_traditional_tpu.ops.kernels import asw_volume_pallas
+
+            vol_l = asw_volume_pallas(le, re, view="left", **kw)
+        else:
+            vol_l = volume.asw_volume(le, re, **kw)
     # exact shift identity costR(q,d) = costL(q+d,d) (row-local, so valid
     # per row-tile unchanged) — same as models/asw.py
     vol_r = volume.right_volume_from_left(vol_l)
@@ -151,7 +185,7 @@ def _ad_census_band_volumes(le, re, cfg, ro_ext, rows):
     return agg_l, agg_r
 
 
-def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
+def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name, aux=()):
     agg_l, agg_r = _ad_census_band_volumes(le, re, cfg, ro_ext, rows)
     agg_l = crop_row_halo(agg_l, halo, 1)
     agg_r = crop_row_halo(agg_r, halo, 1)
@@ -187,24 +221,69 @@ def _ad_census_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
     return out
 
 
-def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name):
+def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name, aux=()):
+    """Every CBLSM cost/aggregation variant of models/cblsm.py on a
+    halo-extended row tile — all reference paths are row-local within the
+    variant-aware halo of :func:`receptive_field_rows` (the arm rules and
+    window sums need the *global* row coordinates, passed through)."""
     d = cfg.disp_range
     arms_l = aggregate.cross_arms(le, cfg.arms, ro_ext, rows)
     arms_r = aggregate.cross_arms(re, cfg.arms, ro_ext, rows)
-    vol_l = volume.ad_volume(le, re, d, "left")
-    vol_r = volume.ad_volume(le, re, d, "right")
-    agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l, max_span=cfg.arms.max_length)
-    agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r, max_span=cfg.arms.max_length)
-    for _ in range(cfg.agg_passes - 1):
-        if cfg.second_pass_left_arms:
-            # stacked second pass, same as models/cblsm.py (shared left
-            # arms -> one [2D, T, W] rect pass, half the gather picks)
-            both = jnp.concatenate([agg_l, agg_r], axis=0)
-            both = aggregate.rect_mean_aggregate(both, arms_l, max_span=cfg.arms.max_length)
-            agg_l, agg_r = both[:d], both[d:]
-        else:
-            agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l, max_span=cfg.arms.max_length)
-            agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r, max_span=cfg.arms.max_length)
+
+    if cfg.cost == "ad":
+        vol_l = volume.ad_volume(le, re, d, "left")
+        vol_r = volume.ad_volume(le, re, d, "right")
+    elif cfg.cost == "sad_mean":
+        vol_l = volume.sad_volume(le, re, d, cfg.win_size, "left", mean=True)
+        vol_r = volume.sad_volume(le, re, d, cfg.win_size, "right", mean=True)
+    elif cfg.cost == "sad_mean_v4":
+        vol_l = volume.sad_volume(
+            le, re, d, cfg.win_size, "left", mean=True, channel_min=True
+        )
+        vol_r = volume.sad_volume(
+            le, re, d, cfg.win_size, "right", mean=True, channel_min=True
+        )
+    elif cfg.cost == "local_mean":
+        vol_l = aggregate.local_mean_cost(le, re, arms_l, arms_r, d)
+        # the mirrored right view flips along W only — row-local, same
+        # global row window (models/cblsm.py's branch with tile offsets)
+        vol_r = aggregate.local_mean_cost(
+            re[:, ::-1], le[:, ::-1],
+            aggregate.cross_arms(re[:, ::-1], cfg.arms, ro_ext, rows),
+            aggregate.cross_arms(le[:, ::-1], cfg.arms, ro_ext, rows),
+            d,
+        )[:, :, ::-1]
+    else:
+        raise ValueError(f"unknown cost {cfg.cost!r}")
+
+    if cfg.aggregation == "rect_mean":
+        agg_l = aggregate.rect_mean_aggregate(vol_l, arms_l, max_span=cfg.arms.max_length)
+        agg_r = aggregate.rect_mean_aggregate(vol_r, arms_r, max_span=cfg.arms.max_length)
+        for _ in range(cfg.agg_passes - 1):
+            if cfg.second_pass_left_arms:
+                # stacked second pass, same as models/cblsm.py (shared left
+                # arms -> one [2D, T, W] rect pass, half the gather picks)
+                both = jnp.concatenate([agg_l, agg_r], axis=0)
+                both = aggregate.rect_mean_aggregate(both, arms_l, max_span=cfg.arms.max_length)
+                agg_l, agg_r = both[:d], both[d:]
+            else:
+                agg_l = aggregate.rect_mean_aggregate(agg_l, arms_l, max_span=cfg.arms.max_length)
+                agg_r = aggregate.rect_mean_aggregate(agg_r, arms_r, max_span=cfg.arms.max_length)
+    elif cfg.aggregation == "rect_mean_v4":
+        vl, vr, vu, vd = aggregate.cblsm_arm_volumes(
+            arms_l, arms_r, d, max_steps=cfg.arms.max_length
+        )
+        agg_l = aggregate.rect_mean_aggregate_volume(vol_l, vl, vr, vu, vd)
+        agg_r = aggregate.rect_mean_aggregate_volume(vol_r, vl, vr, vu, vd)
+    elif cfg.aggregation == "cross_two_pass":
+        c_arms_l = aggregate.canonical_cross_arms(le, cfg.cross_params, ro_ext, rows)
+        c_arms_r = aggregate.canonical_cross_arms(re, cfg.cross_params, ro_ext, rows)
+        agg_l = aggregate.cross_aggregate(vol_l, c_arms_l, cfg.cross_params.num_iters)
+        agg_r = aggregate.cross_aggregate(vol_r, c_arms_r, cfg.cross_params.num_iters)
+    elif cfg.aggregation == "none":
+        agg_l, agg_r = vol_l, vol_r
+    else:
+        raise ValueError(f"unknown aggregation {cfg.aggregation!r}")
     return {
         "disp_left": crop_row_halo(wta.wta(agg_l, "min"), halo, 0),
         "disp_right": crop_row_halo(wta.wta(agg_r, "min"), halo, 0),
@@ -240,18 +319,20 @@ def _post_sharded(name: str):
 
 
 def _check_tiled_support(name: str, cfg) -> None:
-    """The tile cores implement the *active* reference paths; reject config
-    variants they would otherwise silently ignore (run the untiled pipeline
-    or `parallel.gspmd` for those — GSPMD supports every variant)."""
+    """Reject config variants the tile cores do not implement (run the
+    untiled pipeline or `parallel.gspmd` for those — GSPMD supports every
+    variant).  Round 3 closed the variant gaps: ncc 'shifted', asw 'lab'
+    (Lab pair via aux inputs) and every cblsm cost/aggregation now run
+    tiled; the only remaining rejection is the opt-in ASW grid
+    approximation (its truncated Gaussian blurs are not exact under
+    edge-replicated halos)."""
     unsupported = None
-    if name == "ncc" and cfg.variant != "window":
-        unsupported = f"ncc variant={cfg.variant!r}"
-    elif name == "asw" and cfg.variant != "bilateral":
-        unsupported = f"asw variant={cfg.variant!r}"
+    if name == "ncc" and cfg.variant not in ("window", "shifted"):
+        raise ValueError(f"unknown ncc variant {cfg.variant!r}")
+    elif name == "asw" and cfg.variant not in ("bilateral", "lab"):
+        raise ValueError(f"unknown asw variant {cfg.variant!r}")
     elif name == "asw" and getattr(cfg, "approx", "none") != "none":
         unsupported = f"asw approx={cfg.approx!r}"
-    elif name == "cblsm" and (cfg.cost != "ad" or cfg.aggregation != "rect_mean"):
-        unsupported = f"cblsm cost={cfg.cost!r} aggregation={cfg.aggregation!r}"
     elif name == "ad_census" and cfg.aggregation not in (
         "rect_mean", "cross_two_pass", "none"
     ):
@@ -299,23 +380,32 @@ def tiled_pipeline(
             "gathered default)"
         )
 
-    def run(left, right):
+    def run(left, right, *aux):
+        # ``aux``: extra per-pair images sharded/halo'd like left/right —
+        # the asw 'lab' variant passes (left_lab, right_lab) here
         h, w = left.shape[:2]
         h_pad = -(-h // n) * n
         t = h_pad // n
-        pad = [(0, h_pad - h)] + [(0, 0)] * (left.ndim - 1)
-        lp = jnp.pad(left, pad, mode="edge")
-        rp = jnp.pad(right, pad, mode="edge")
 
-        spec = P(axis_name, *([None] * (left.ndim - 1)))
+        def padded(x):
+            pad = [(0, h_pad - h)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad, mode="edge")
+
+        lp, rp = padded(left), padded(right)
+        ap = tuple(padded(a) for a in aux)
+
+        def spec_of(x):
+            return P(axis_name, *([None] * (x.ndim - 1)))
+
         out_spec = P(axis_name, None)
 
-        def tile_fn(lt, rt):
+        def tile_fn(lt, rt, *at):
             idx = lax.axis_index(axis_name)
             ro_ext = idx * t - halo  # global row of the first extended row
             le = add_row_halo(lt, halo, axis_name)
             re = add_row_halo(rt, halo, axis_name)
-            out = core(le, re, cfg, ro_ext, h, halo, axis_name)
+            ae = tuple(add_row_halo(a, halo, axis_name) for a in at)
+            out = core(le, re, cfg, ro_ext, h, halo, axis_name, ae)
             if post_fn is not None and getattr(cfg, "run_post", False):
                 dmap, occl, mism = post_fn(
                     out["disp_left"], out["disp_right"], cfg, axis_name,
@@ -327,11 +417,11 @@ def tiled_pipeline(
         sharded = jax.shard_map(
             tile_fn,
             mesh=mesh,
-            in_specs=(spec, spec),
+            in_specs=(spec_of(left), spec_of(right)) + tuple(spec_of(a) for a in aux),
             out_specs=out_spec,
             check_vma=False,
         )
-        tiles = sharded(lp, rp)
+        tiles = sharded(lp, rp, *ap)
         disp_l = tiles["disp_left"][:h]
         disp_r = tiles.get("disp_right")
         if disp_r is not None:
@@ -384,6 +474,7 @@ def run_tiled(
     mesh: Optional[Mesh] = None,
     axis_name: str = "tile",
     shard_post: bool = False,
+    aux=(),
 ) -> StereoResult:
     """One-shot convenience wrapper around :func:`tiled_pipeline`.
 
@@ -405,7 +496,7 @@ def run_tiled(
         fn = _TILED_CACHE[key] = jax.jit(
             tiled_pipeline(name, cfg, mesh, axis_name, shard_post=shard_post)
         )
-    return fn(jnp.asarray(left), jnp.asarray(right))
+    return fn(jnp.asarray(left), jnp.asarray(right), *(jnp.asarray(a) for a in aux))
 
 
 # ---------------------------------------------------------------------------
@@ -537,7 +628,14 @@ def ncc_tile_disp(
     (`wta_sharded` 'max') combines over ICI.  Non-divisible ranges round
     the slice up and mask the padded entries to -inf.
     """
-    _check_tiled_support("ncc", cfg)  # e.g. variant='shifted' has no tile core
+    _check_tiled_support("ncc", cfg)
+    if cfg.variant != "window":
+        raise NotImplementedError(
+            f"ncc_tile_disp implements variant='window' only (got "
+            f"{cfg.variant!r}: the shifted variant's per-offset argmax "
+            "tracker is not a disparity-sharded reduction); use "
+            "tiled_pipeline or gspmd_pipeline"
+        )
     halo = receptive_field_rows("ncc", cfg)
 
     def body(le, re, ro_ext, rows, d_off, pad_mask):
