@@ -157,31 +157,64 @@ def cmd_run(args) -> int:
 
     from stereo_match_traditional_tpu.utils.profiling import profile
 
+    # The ASW Lab variant consumes the COLOR pair in OpenCV's 8-bit Lab
+    # encoding (`ASW/ASWeight.cpp:33-34` cvtColor(CV_BGR2Lab)); build the
+    # Lab images from the same inputs and hand them to each executor's
+    # aux-input path.
+    aux = ()
+    pkw = {}
+    if args.pipeline == "asw" and getattr(cfg, "variant", "") == "lab":
+        if args.synthetic:
+            from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+            h, w = (int(x) for x in args.synthetic.split("x"))
+            lc, rc, _ = make_pair(
+                h, w, args.disp_range or 60, seed=args.seed, color=True
+            )
+        else:
+            lc = io_utils.imread(args.left)
+            rc = io_utils.imread(args.right)
+            if lc.ndim != 3 or rc.ndim != 3:
+                raise SystemExit(
+                    "variant=lab needs COLOR input images (the Lab weights "
+                    "come from cvtColor(CV_BGR2Lab), ASWeight.cpp:33-34)"
+                )
+        aux = (io_utils.rgb_to_lab_u8(lc), io_utils.rgb_to_lab_u8(rc))
+        pkw = {
+            "left_lab": jnp.asarray(aux[0]),
+            "right_lab": jnp.asarray(aux[1]),
+        }
+
     timer = StageTimer()
     stages = None
     with profile(args.trace), timer.stage("pipeline"):
         if executor == "direct":
             if args.save_stages:
                 res, stages = pipeline(
-                    jnp.asarray(left), jnp.asarray(right), cfg, return_stages=True
+                    jnp.asarray(left), jnp.asarray(right), cfg,
+                    return_stages=True, **pkw
                 )
             else:
-                res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+                res = pipeline(jnp.asarray(left), jnp.asarray(right), cfg, **pkw)
         elif executor == "streamed":
             from stereo_match_traditional_tpu.parallel import run_streamed
 
-            res = run_streamed(args.pipeline, left, right, cfg, row_tile=args.row_tile)
+            res = run_streamed(
+                args.pipeline, left, right, cfg, row_tile=args.row_tile, aux=aux
+            )
         elif executor == "tiled":
             from stereo_match_traditional_tpu.parallel import run_tiled
 
-            res = run_tiled(args.pipeline, left, right, cfg)
+            res = run_tiled(args.pipeline, left, right, cfg, aux=aux)
         elif executor == "gspmd":
             from stereo_match_traditional_tpu.parallel.gspmd import gspmd_pipeline
             from stereo_match_traditional_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(axis_names=("tile",))
-            res = gspmd_pipeline(args.pipeline, cfg, mesh)(
-                jnp.asarray(left), jnp.asarray(right)
+            aux_names = ("left_lab", "right_lab") if aux else ()
+            res = gspmd_pipeline(args.pipeline, cfg, mesh, aux_names=aux_names)(
+                jnp.asarray(left), jnp.asarray(right),
+                *(jnp.asarray(a) for a in aux)
             )
         else:
             raise SystemExit(f"unknown executor {executor!r}")

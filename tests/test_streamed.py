@@ -103,6 +103,30 @@ def test_streamed_scanline_single_band():
         assert frac == 0.0, (field, frac)
 
 
+@pytest.mark.slow
+def test_streamed_variants_match_untiled():
+    """The streamed executor inherits the round-3 variant coverage through
+    the shared tile cores: a dormant cblsm cost and the asw 'lab' variant
+    (aux inputs banded like the gray pair) equal the direct pipeline."""
+    from stereo_match_traditional_tpu.utils import io
+
+    L, R, _ = make_pair(37, 48, 10, seed=6)
+    cfg = cfgs.CBLSMConfig(disp_range=10, cost="sad_mean", win_size=1)
+    fn, _ = get_pipeline("cblsm")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    got = run_streamed("cblsm", L, R, cfg, row_tile=16)
+    assert _mismatch(got.disp_left, want.disp_left, 10) <= 5e-3
+
+    Lc, Rc, _ = make_pair(37, 48, 10, seed=6, color=True)
+    lab_l, lab_r = io.rgb_to_lab_u8(Lc), io.rgb_to_lab_u8(Rc)
+    cfg = cfgs.ASWConfig(disp_range=10, win_size=2, variant="lab", run_post=False)
+    fa, _ = get_pipeline("asw")
+    want = fa(jnp.asarray(L), jnp.asarray(R), cfg,
+              left_lab=jnp.asarray(lab_l), right_lab=jnp.asarray(lab_r))
+    got = run_streamed("asw", L, R, cfg, row_tile=16, aux=(lab_l, lab_r))
+    assert _mismatch(got.disp_left, want.disp_left, 10) <= 5e-3
+
+
 def test_streamed_rejects_canonical_scanline():
     """The tso-scheduled canonical scanline (cross_two_pass mode) is not
     streamed; the guard must reject rather than silently run the legacy
