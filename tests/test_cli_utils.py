@@ -143,3 +143,25 @@ def test_device_time_sane_on_cpu():
     x = jnp.ones((64, 128), jnp.float32)
     t = device_time(lambda a: a * 2.0 + 1.0, (x,), n_lo=1, n_hi=64, reps=2)
     assert 0 < t < 0.1
+
+
+def test_cli_asw_lab_variant_executors(capsys):
+    """`stereo run asw --set variant=lab` builds the OpenCV-u8-Lab pair
+    from the (synthetic color) inputs and routes it through each
+    executor's aux-input path; direct and tiled must agree."""
+    import pytest
+
+    from stereo_match_traditional_tpu import cli
+
+    outs = {}
+    for ex in ("direct", "tiled"):
+        rc = cli.main(
+            [
+                "run", "asw", "--synthetic", "32x44", "--disp-range", "8",
+                "--set", "variant=lab", "--set", "win_size=2",
+                "--executor", ex,
+            ]
+        )
+        assert rc == 0
+        outs[ex] = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outs["direct"]["bad_2.0"] == pytest.approx(outs["tiled"]["bad_2.0"], abs=5e-3)
