@@ -77,10 +77,19 @@ def main():
     _, cfg_cls = get_pipeline(args.pipeline)
     cfg = cfg_cls(**disp_override_kw(cfg_cls, args.disp))
 
+    # 3) batch-DP: with several devices, shard each batch across them
+    #    (zero collectives — the throughput scale-out axis)
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch % n_dev == 0:
+        from stereo_match_traditional_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_dev, ("batch",))
+
     t0 = time.time()
     n = 0
     for i, disp in enumerate(
-        serve_pairs(args.pipeline, feed, cfg, batch_size=args.batch)
+        serve_pairs(args.pipeline, feed, cfg, batch_size=args.batch, mesh=mesh)
     ):
         io_utils.imwrite(
             os.path.join(args.out_dir, f"pair{i:03d}_disp.png"),
