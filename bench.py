@@ -69,7 +69,7 @@ def _run_baseline_binary(pipeline, rows, cols, disp, iters, threads, timeout):
 
 
 def _cpu_baseline(pipeline: str, rows: int, cols: int, disp: int,
-                  measure: bool = False):
+                  measure: bool = False, check_drift: bool = False):
     """(mpixdisp, source) CPU-reference baseline for this workload, or
     (None, None).
 
@@ -93,8 +93,10 @@ def _cpu_baseline(pipeline: str, rows: int, cols: int, disp: int,
             return live, "measured"
         except Exception:
             return (mpix, "recorded") if (mpix and at_ref_shape) else (None, None)
-    # recorded constant + cheap live drift check
-    if sec is not None and sec * iters <= _LIVE_CHECK_BUDGET_S:
+    # recorded constant (+ the opt-in live drift check: re-running the CPU
+    # baseline on the measuring container adds fixed wall-clock and false
+    # >20% warnings under CPU contention, so it no longer runs by default)
+    if check_drift and sec is not None and sec * iters <= _LIVE_CHECK_BUDGET_S:
         try:
             live = _run_baseline_binary(
                 pipeline, rows, cols, disp, iters, threads, timeout=120
@@ -136,7 +138,13 @@ def main() -> None:
         "--measure-baseline", action="store_true",
         help="re-measure the CPU reference baseline live and use it as the "
         "vs_baseline denominator (minutes for ncc/asw); default uses the "
-        "recorded constant with a cheap drift check",
+        "recorded constant",
+    )
+    ap.add_argument(
+        "--check-drift", action="store_true",
+        help="also re-run the cheap CPU baselines live and warn if they "
+        "drift >20%% from the recorded constants (opt-in: the live run "
+        "costs seconds and false-positives under container CPU contention)",
     )
     ap.add_argument(
         "--multichip", action="store_true",
@@ -194,7 +202,7 @@ def main() -> None:
     mpixdisp = args.rows * args.cols * args.disp / sec / 1e6
     baseline, source = _cpu_baseline(
         args.pipeline, args.rows, args.cols, args.disp,
-        measure=args.measure_baseline,
+        measure=args.measure_baseline, check_drift=args.check_drift,
     )
     result = {
         "metric": f"{args.pipeline}_throughput",

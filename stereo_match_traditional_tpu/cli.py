@@ -373,6 +373,12 @@ def main(argv=None) -> int:
         "--cpu", action="store_true",
         help="force the CPU backend (this container pins a TPU otherwise)",
     )
+    ap.add_argument(
+        "--no-compile-cache", action="store_true",
+        help="skip the persistent XLA compile cache "
+        "(~/.cache/stereo_match_tpu_xla; it has no automatic eviction — "
+        "delete the directory to reclaim space)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="run a stereo pipeline on an image pair")
@@ -453,13 +459,22 @@ def main(argv=None) -> int:
     try:
         # persistent compile cache: repeated CLI invocations of the same
         # pipeline/shape skip the (remote, ~8-40 s) XLA compile.  JAX's
-        # JAX_COMPILATION_CACHE_DIR env var still overrides.
-        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # JAX_COMPILATION_CACHE_DIR env var still overrides; pass
+        # --no-compile-cache to skip it.  JAX applies no eviction, so the
+        # directory grows with distinct (pipeline, shape) programs —
+        # `rm -rf ~/.cache/stereo_match_tpu_xla` is always safe, and the
+        # min-compile-time gate below keeps sub-second programs out of it.
+        if not args.no_compile_cache and not os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR"
+        ):
             jax.config.update(
                 "jax_compilation_cache_dir",
                 os.path.join(
                     os.path.expanduser("~"), ".cache", "stereo_match_tpu_xla"
                 ),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
             )
     except Exception:
         pass

@@ -37,6 +37,16 @@ class SADConfig:
     subpixel: bool = False           # Sad.h:81-84 computes then discards
     compute_right: bool = False      # SADmain.cpp:67 (commented out)
     run_post: bool = False           # SADmain.cpp:68-79 (commented out)
+    fill_max_search: Optional[int] = None  # opt-in hole-fill ray cap.  The
+                                     # reference's SAD rays are UNBOUNDED
+                                     # (`Sad.h:365`, unlike the dispRange cap
+                                     # of `PostProcessing.h:169`); None keeps
+                                     # that faithful default.  A cap changes
+                                     # results only for pixels whose nearest
+                                     # ray candidates sit >= cap steps away,
+                                     # and is what makes the sharded post
+                                     # exact (cap <= per-pass halo budget,
+                                     # parallel.post_shard.sad_post_sharded)
 
     @property
     def radius(self) -> int:
@@ -111,6 +121,16 @@ class ScanlineConfig:
     where ``l2`` reads ``costLastPath[d+1]`` (`ScanlineOptimizer.h:238`),
     losing the d-1 transition on vertical paths.  Default False = canonical
     SGM on all four paths.
+
+    ``penalty_scale`` (opt-in, NON-PARITY — same template as the ASW
+    ``approx='grid'`` flag): the reference's P1=10/P2=150
+    (`AD-CensusV1/main.cpp:28-29`) are calibrated for its 8-bit/D=60
+    workload and over-smooth at serving disparity ranges (measured bad-2.0
+    0.325 at 720p/D=128, BASELINE.md).  ``None`` (default) keeps the exact
+    reference penalties; ``'auto'`` scales both by ``60 / disp_range``
+    (the reference calibration point, `main.cpp:24`); a float multiplies
+    both directly.  Matches the adaptive-P2 *intent* of
+    `ScanlineOptimizer.h:171` extended to the range dimension.
     """
 
     p1: float = 10.0                 # main.cpp:28
@@ -119,6 +139,19 @@ class ScanlineConfig:
     faithful_vertical_p2: bool = False  # ScanLineUpDown never updates grayLast
                                      # (ScanlineOptimizer.h:210,232): vertical
                                      # P2 adapts to the *column-start* pixel
+    penalty_scale: Optional[object] = None  # None (parity) | 'auto' | float
+
+    def effective_penalties(self, disp_range: int) -> Tuple[float, float]:
+        """(P1, P2) after the opt-in ``penalty_scale`` — the single place
+        every executor (direct, sharded, streamed) resolves the knob so
+        they cannot drift."""
+        if self.penalty_scale is None:
+            scale = 1.0
+        elif self.penalty_scale == "auto":
+            scale = 60.0 / float(disp_range)   # reference D, main.cpp:24
+        else:
+            scale = float(self.penalty_scale)
+        return self.p1 * scale, self.p2 * scale
 
 
 @dataclasses.dataclass(frozen=True)

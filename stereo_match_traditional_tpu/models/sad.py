@@ -24,7 +24,10 @@ def sad_post(disp_l, disp_r, cfg: SADConfig):
         invalid_value=post.INVALID,
         background=0.0,  # Sad.h:265 skips zero-disparity seeds
     )
-    d = post.fill_holes_8dir(d, lr.occlusion, lr.mismatch, post.INVALID)
+    d = post.fill_holes_8dir(
+        d, lr.occlusion, lr.mismatch, post.INVALID,
+        max_search=cfg.fill_max_search,  # None = faithful unbounded rays
+    )
     d = post.median_filter(d, 3, border="truncate")
     return d, lr.occlusion, lr.mismatch
 

@@ -306,7 +306,7 @@ def scanline_optimize(
     cost: [D, H, W]; gray: [H, W] (the left image drives the adaptive P2,
     `AD-CensusV1/main.cpp:88` passes ``leftptr``).
     """
-    p1, p2 = cfg.p1, cfg.p2
+    p1, p2 = cfg.effective_penalties(cost.shape[0])
     vert_dm1 = not cfg.faithful_vertical_l2
     vert_p2 = "first" if cfg.faithful_vertical_p2 else "prev"
 

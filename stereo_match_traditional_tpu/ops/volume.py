@@ -726,6 +726,12 @@ def asw_volume_approx_grid(
     pixel.  The bad-2.0 delta on the synthetic suite is recorded in
     BASELINE.md; use the default exact path for reference parity.
     """
+    if bins < 2:
+        raise ValueError(
+            f"asw approx='grid' needs bins >= 2 (got {bins}): the hat "
+            "interpolation between intensity centers is degenerate below "
+            "two bins — raise ASWConfig(approx_bins=...)"
+        )
     lf = jnp.asarray(left).astype(jnp.float32)
     rf = jnp.asarray(right).astype(jnp.float32)
     h, w = lf.shape

@@ -263,6 +263,56 @@ def ad_census_post_sharded(
     return d_e[halo : halo + t], lr.occlusion, lr.mismatch
 
 
+def sad_post_sharded(
+    disp_l: jax.Array,
+    disp_r: jax.Array,
+    cfg,
+    axis_name: str,
+    row_offset,
+    global_rows: int,
+):
+    """`models.sad.sad_post` (`SADmain.cpp:68-79` semantics) on [T, W] row
+    tiles: LR cross-check with occlusion/mismatch classes (row-local,
+    `Sad.h:184-222`) -> sharded speckle removal with the zero-background
+    seed rule (`Sad.h:265`) -> per-pass-halo'd 8-direction hole fill ->
+    halo'd truncate-border median.
+
+    Requires ``cfg.fill_max_search`` (the opt-in ray cap): the reference's
+    SAD rays are unbounded (`Sad.h:365`) and admit no exact row-halo'd
+    form, so `tiled_pipeline('sad', ..., shard_post=True)` rejects the
+    faithful ``None`` default — with a cap the sharded chain is exact
+    (bit-equal to `sad_post` at the same cap)."""
+    from stereo_match_traditional_tpu.parallel.halo import add_row_halo
+
+    if cfg.fill_max_search is None:
+        raise NotImplementedError(
+            "sad_post_sharded needs SADConfig(fill_max_search=...): the "
+            "faithful unbounded hole-fill rays (`Sad.h:365`) have no exact "
+            "row-halo'd form; use the gathered default or opt into a cap"
+        )
+    t = disp_l.shape[0]
+    lr = post.lr_check_simple(
+        disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.max_disparity
+    )
+    d = remove_speckles_sharded(
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, axis_name,
+        row_offset, global_rows, invalid_value=post.INVALID,
+        background=0.0,  # Sad.h:265 skips zero-disparity seeds
+    )
+    d = fill_holes_8dir_sharded(
+        d, lr.occlusion, lr.mismatch, axis_name, row_offset, global_rows,
+        invalid_value=post.INVALID, max_search=cfg.fill_max_search,
+    )
+    halo = 1  # sad_post's fixed median_filter(d, 3)
+    ro_ext = row_offset - halo
+    d_e = add_row_halo(d, halo, axis_name)
+    d_e = _mask_outside_rows(d_e, ro_ext, global_rows, post.INVALID)
+    d_e = post.median_filter(
+        d_e, 3, border="truncate", row_offset=ro_ext, global_rows=global_rows
+    )
+    return d_e[halo : halo + t], lr.occlusion, lr.mismatch
+
+
 def cblsm_post_sharded(
     disp_l: jax.Array,
     disp_r: jax.Array,

@@ -38,7 +38,7 @@ def scanline_optimize_sharded(
     matching the unsharded semantics) and the padded rows are re-appended as
     zeros before resharding back.
     """
-    p1, p2 = cfg.p1, cfg.p2
+    p1, p2 = cfg.effective_penalties(cost.shape[0])
     vert_dm1 = not cfg.faithful_vertical_l2
     vert_p2 = "first" if cfg.faithful_vertical_p2 else "prev"
     n = lax.axis_size(axis_name)

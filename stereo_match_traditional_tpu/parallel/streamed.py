@@ -137,7 +137,7 @@ def _ad_census_scanline_streamed(cfg, row_tile: int):
     materialized beyond one band's working set.
     """
     sl = cfg.scanline
-    p1, p2_init = sl.p1, sl.p2
+    p1, p2_init = sl.effective_penalties(cfg.disp_range)
     vert_dm1 = not sl.faithful_vertical_l2
     vert_first = sl.faithful_vertical_p2
     halo = receptive_field_rows("ad_census", cfg)

@@ -315,6 +315,7 @@ def _post_sharded(name: str):
         "ad_census": post_shard.ad_census_post_sharded,
         "cblsm": post_shard.cblsm_post_sharded,
         "asw": post_shard.asw_post_sharded,
+        "sad": post_shard.sad_post_sharded,
     }.get(name)
 
 
@@ -371,13 +372,20 @@ def tiled_pipeline(
     n = mesh.shape[axis_name]
     canonical = name == "ad_census" and getattr(cfg, "aggregation", "") == "cross_two_pass"
     post_fn = _post_sharded(name) if shard_post else None
-    if shard_post and (post_fn is None or canonical):
+    sad_unbounded = name == "sad" and getattr(cfg, "fill_max_search", None) is None
+    if shard_post and (post_fn is None or canonical or sad_unbounded):
+        if sad_unbounded:
+            raise NotImplementedError(
+                "shard_post for SAD needs SADConfig(fill_max_search=...): "
+                "the faithful unbounded hole-fill rays (`Sad.h:365`) have "
+                "no exact row-halo'd form; opt into a ray cap (exact at "
+                "that cap) or use the gathered default"
+            )
         raise NotImplementedError(
-            "shard_post is implemented for the legacy ad_census/cblsm/asw "
-            f"chains, not {'canonical ad_census' if canonical else repr(name)}"
-            " (SAD's unbounded hole-fill rays and the canonical region "
-            "voting's 5x-arm reach have no exact row-halo'd form; use the "
-            "gathered default)"
+            "shard_post is implemented for the legacy ad_census/cblsm/asw/"
+            f"sad chains, not {'canonical ad_census' if canonical else repr(name)}"
+            " (the canonical region voting's 5x-arm reach has no exact "
+            "row-halo'd form; use the gathered default)"
         )
 
     def run(left, right, *aux):

@@ -58,9 +58,29 @@ def test_cblsm_shard_post_exact():
 
 
 def test_shard_post_unsupported_pipeline_raises():
+    # SAD's faithful default (unbounded hole-fill rays, `Sad.h:365`) still
+    # rejects sharded post; the opt-in ray cap makes it buildable
     mesh = make_mesh(8, ("tile",))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="fill_max_search"):
         tiled_pipeline("sad", SADConfig(), mesh, shard_post=True)
+    tiled_pipeline(
+        "sad", SADConfig(fill_max_search=16), mesh, shard_post=True
+    )  # builds
+
+
+def test_sad_shard_post_exact_with_ray_cap():
+    """VERDICT r3 item 5: with the opt-in fill_max_search cap the sharded
+    SAD post (LR classes -> background-seeded speckles -> capped 8-dir fill
+    -> truncate median) is bit-equal to the gathered chain."""
+    left, right, _ = make_pair(96, 70, 12, seed=14)
+    cfg = SADConfig(
+        max_disparity=16, winsize=2, compute_right=True, run_post=True,
+        fill_max_search=16,
+    )
+    mesh = make_mesh(8, ("tile",))
+    ref = jax.jit(tiled_pipeline("sad", cfg, mesh, shard_post=False))(left, right)
+    got = jax.jit(tiled_pipeline("sad", cfg, mesh, shard_post=True))(left, right)
+    _assert_result_equal(got, ref)
 
 
 def test_asw_shard_post_exact():

@@ -37,6 +37,38 @@ def test_faithful_vertical_quirk():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_penalty_scale_parity_and_effect():
+    """Opt-in penalty scaling (VERDICT r3 item 2): scale=1.0 and 'auto' at
+    the reference's D=60 calibration point are bit-identical to the parity
+    default; an explicit scale equals scaling p1/p2 directly."""
+    cost, gray = _case(seed=3, d=6)
+    base = np.asarray(scanline.scanline_optimize(cost, gray, ScanlineConfig()))
+    one = np.asarray(
+        scanline.scanline_optimize(cost, gray, ScanlineConfig(penalty_scale=1.0))
+    )
+    np.testing.assert_array_equal(base, one)
+
+    # 'auto' at D=60: scale = 60/60 = 1 -> parity
+    cost60 = np.concatenate([cost] * 10, axis=0)
+    a = np.asarray(
+        scanline.scanline_optimize(
+            cost60, gray, ScanlineConfig(penalty_scale="auto")
+        )
+    )
+    b = np.asarray(scanline.scanline_optimize(cost60, gray, ScanlineConfig()))
+    np.testing.assert_array_equal(a, b)
+
+    # explicit 0.25 == running with p1/4, p2/4
+    got = np.asarray(
+        scanline.scanline_optimize(cost, gray, ScanlineConfig(penalty_scale=0.25))
+    )
+    want = np.asarray(
+        scanline.scanline_optimize(cost, gray, ScanlineConfig(p1=2.5, p2=37.5))
+    )
+    np.testing.assert_array_equal(got, want)
+    assert not np.array_equal(got, base)
+
+
 def test_constant_cost_stays_constant():
     """With P1 large and uniform cost, aggregation must not distort argmin."""
     d, h, w = 4, 5, 7
