@@ -418,8 +418,9 @@ def main(argv=None) -> int:
         "inputs); gspmd = sharded-input pjit (every config variant)",
     )
     run.add_argument(
-        "--row-tile", type=int, default=128,
-        help="rows per band for --executor streamed",
+        "--row-tile", type=int, default=None,
+        help="rows per band for --executor streamed (default: auto-sized "
+        "from the live-buffer model, parallel.streamed.auto_row_tile)",
     )
     run.set_defaults(func=cmd_run)
 

@@ -197,40 +197,37 @@ def _directional_pass(
     return _scan_unrolled(step, cost[0], (cost, p2), unroll)
 
 
-def _canonical_pass(
-    cost: jax.Array,
-    g1: jax.Array,
-    g2: jax.Array,
-    p1_base: float,
-    p2_base: float,
-    tso: float,
-    unroll: int = 4,
-) -> jax.Array:
-    """One directional pass with the canonical tso penalty schedule.
+def canonical_scale(g1_cur, g1_prev, g2_cur, g2_prev, tso: float) -> jax.Array:
+    """The canonical tso penalty scale per (path step, d, lane).
 
-    cost: [N, D, M] (N = path axis, M on the lanes); g1: [N, M] the base
-    image along the path; g2: [N, D, M] the *matched* image gathered at the
-    per-d match column.  Penalties per (p, d) from the color differences
-    along the path, D1 = |g1(p) - g1(p-r)| and D2 = |g2(p,d) - g2(p-r,d)|:
+    Penalties derive from the color differences along the path,
+    D1 = |g1(p) - g1(p-r)| (base image, [N, M]) and
+    D2 = |g2(p,d) - g2(p-r,d)| (matched image at the per-d match column,
+    [N, D, M]):
 
-        D1 < tso and D2 < tso  ->  (P1, P2)
-        exactly one >= tso     ->  (P1/4, P2/4)
-        both >= tso            ->  (P1/10, P2/10)
+        D1 < tso and D2 < tso  ->  scale 1.0   (P1, P2)
+        exactly one >= tso     ->  scale 0.25  (P1/4, P2/4)
+        both >= tso            ->  scale 0.1   (P1/10, P2/10)
 
     (the Mei et al. AD-Census schedule that `so_p1/so_p2/so_tso` of the
     vendored `ADCensusOption` parameterize, `CBLSM/adcensus_types.h:72`).
+    The previous-step arrays are explicit so band continuations can feed
+    the cross-band neighbor row from their halo (`parallel.streamed`).
     """
-    d1 = jnp.abs(g1 - jnp.concatenate([g1[:1], g1[:-1]], axis=0))[:, None, :]
-    d2 = jnp.abs(g2 - jnp.concatenate([g2[:1], g2[:-1]], axis=0))
-    over1 = d1 >= tso
-    over2 = d2 >= tso
-    scale = jnp.where(
-        over1 & over2, 0.1, jnp.where(over1 | over2, 0.25, 1.0)
-    )  # [N, D, M]
-    p1s = p1_base * scale
-    p2s = p2_base * scale
+    over1 = (jnp.abs(g1_cur - g1_prev) >= tso)[..., None, :]
+    over2 = jnp.abs(g2_cur - g2_prev) >= tso
+    return jnp.where(over1 & over2, 0.1, jnp.where(over1 | over2, 0.25, 1.0))
 
-    def step(prev, prev_min, c, p1c, p2c):
+
+def _make_canonical_step(p1_base: float, p2_base: float):
+    """The canonical min-plus step ``(prev, prev_min, cost_t, scale_t) ->
+    (out, out_min)``: per-(d, lane) penalties ``p1_base*scale`` /
+    ``p2_base*scale`` (shared by the monolithic, sharded and banded
+    canonical passes)."""
+
+    def step(prev, prev_min, c, sc):
+        p1c = p1_base * sc
+        p2c = p2_base * sc
         inf_row = jnp.full(prev.shape[:-2] + (1,) + prev.shape[-1:], _BIG)
         l1 = prev
         l2 = jnp.concatenate([inf_row, prev[..., :-1, :]], axis=-2) + p1c
@@ -243,7 +240,66 @@ def _canonical_pass(
         )
         return out, jnp.min(out, axis=-2)
 
-    out, _ = _scan_unrolled(step, cost[0], (cost, p1s, p2s), unroll)
+    return step
+
+
+def canonical_pass_banded(
+    cost: jax.Array,
+    scale: jax.Array,
+    carry: Tuple[jax.Array, jax.Array],
+    reset: jax.Array,
+    p1_base: float,
+    p2_base: float,
+    unroll: int = 4,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Band continuation of one canonical directional pass — the
+    tso-scheduled analogue of :func:`directional_pass_banded`
+    (`parallel.streamed`'s canonical building block).
+
+    ``cost``: [T, D, M]; ``scale``: [T, D, M] the penalty scale of
+    :func:`canonical_scale`, already evaluated against the neighbor each
+    step consumes (cross-band neighbors come from the caller's halo);
+    ``carry``/``reset`` exactly as in :func:`directional_pass_banded` — a
+    ``(zeros, zeros)`` carry is the exact path seed (``min(l1..l4) ==
+    prev_min == 0`` so ``out = cost`` bitwise).
+    """
+    base = _make_canonical_step(p1_base, p2_base)
+    if reset is None:
+        return _scan_carry_unrolled(base, carry, (cost, scale), unroll)
+
+    def step(prev, prev_min, c, sc, rs):
+        prev = jnp.where(rs, jnp.zeros_like(prev), prev)
+        prev_min = jnp.where(rs, jnp.zeros_like(prev_min), prev_min)
+        return base(prev, prev_min, c, sc)
+
+    return _scan_carry_unrolled(step, carry, (cost, scale, reset), unroll)
+
+
+def _canonical_pass(
+    cost: jax.Array,
+    g1: jax.Array,
+    g2: jax.Array,
+    p1_base: float,
+    p2_base: float,
+    tso: float,
+    unroll: int = 4,
+) -> jax.Array:
+    """One directional pass with the canonical tso penalty schedule
+    (:func:`canonical_scale`).
+
+    cost: [N, D, M] (N = path axis, M on the lanes); g1: [N, M] the base
+    image along the path; g2: [N, D, M] the *matched* image gathered at the
+    per-d match column.
+    """
+    scale = canonical_scale(
+        g1,
+        jnp.concatenate([g1[:1], g1[:-1]], axis=0),
+        g2,
+        jnp.concatenate([g2[:1], g2[:-1]], axis=0),
+        tso,
+    )  # [N, D, M]
+    step = _make_canonical_step(p1_base, p2_base)
+    out, _ = _scan_unrolled(step, cost[0], (cost, scale), unroll)
     return out
 
 

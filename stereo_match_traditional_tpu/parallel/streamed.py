@@ -28,9 +28,21 @@ recurrence is evaluated step-for-step in the same order; a d-constant
 zero carry reproduces the path seed exactly), so streamed == direct up
 to the band-local SAT tie-flip envelope below.
 
-The canonical (cross_two_pass) tso-scheduled scanline is not streamed:
-its per-(pixel, d) penalties need the D-deep matched-image stack per
-band — use `gspmd_pipeline` or the untiled pipeline.
+The canonical (cross_two_pass / ADCensusOption) family streams too
+(VERDICT r3 item 1): the tso-scheduled penalties' D-deep matched-image
+stack ``g2 = shifted_stack(match, D)`` is column-shift-local, so a band's
+slice ``[D, T+2, W]`` is computable from the band's matched rows — the
+same footprint as the band cost volume.  The canonical scanline runs on
+BOTH volumes (`models.ad_census_pipeline`), so the backward sweep chains
+two bottom-up carries (left and right view) and the forward sweep runs
+eight directional band passes (2 horizontal + 2 vertical continuations
+per view), averaging as the monolithic pass does.  The canonical post
+(LR at lrcheck_thres, iterative region voting over arms recomputed once
+from the full left image, median) runs on the gathered maps exactly as
+`parallel.tiled` does; the optional discontinuity adjustment — which
+needs the aggregated left volume at the voted disparities — runs as a
+third band sweep (the adjustment is row-local, `post.py`), re-deriving
+each band's aggregated volume once more.
 
 Equality: band-local SAT cumsums accumulate in a different order than the
 full-image ones, so results match the untiled pipeline up to argmin tie
@@ -47,7 +59,10 @@ from jax import lax
 from stereo_match_traditional_tpu.models.base import StereoResult
 from stereo_match_traditional_tpu.ops import wta
 from stereo_match_traditional_tpu.ops.scanline import (
+    _canonical_pass,
     _directional_pass,
+    canonical_pass_banded,
+    canonical_scale,
     directional_pass_banded,
 )
 from stereo_match_traditional_tpu.parallel.halo import crop_row_halo
@@ -60,39 +75,86 @@ from stereo_match_traditional_tpu.parallel.tiled import (
 )
 
 
-def streamed_pipeline(name: str, cfg, row_tile: int = 128):
+def _device_memory_bytes() -> float:
+    """Accelerator memory of device 0.  ``memory_stats()`` when the backend
+    reports it (None through the axon relay); otherwise 16 GiB — the v5e
+    HBM, conservative for larger parts."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+    except Exception:
+        stats = None
+    if stats and stats.get("bytes_limit"):
+        return float(stats["bytes_limit"])
+    return float(16 * 2**30)
+
+
+def auto_row_tile(name: str, cfg, h: int, w: int, memory_bytes=None) -> int:
+    """Pick the largest row band whose modeled live set fits the device
+    (VERDICT r3 item 6) — bigger bands amortize the halo recompute, so the
+    optimum is the memory boundary.
+
+    Live-buffer model calibrated on the round-3 4K/D=256 sweep
+    (BASELINE.md): the legacy streamed scanline keeps ~6 band-sized
+    buffers live (the two sweeps' scan xs + double-buffered outputs),
+    each ``[t + 2*halo, D, W]`` f32; rt=432 (12.0 GB modeled) compiles
+    and is the swept optimum while rt=540 (14.5 GB) exceeds HBM — so the
+    budget is 70% of device memory, which lands the 4K pick exactly on
+    the swept 432.  The canonical scanline adds the per-(pixel, d)
+    penalty-scale xs and a second view (~10 band buffers + 4 halo'd
+    aggregation bands); the plain banded paths keep ~4 halo'd band
+    volumes (`lax.map` double buffering + aggregation internals).
+    """
+    d = getattr(cfg, "disp_range", getattr(cfg, "max_disparity", 1))
+    halo = receptive_field_rows(name, cfg)
+    budget = 0.70 * (memory_bytes if memory_bytes else _device_memory_bytes())
+    row_bytes = d * w * 4.0
+    rows_budget = budget / row_bytes          # total live rows affordable
+    canonical = name == "ad_census" and getattr(cfg, "aggregation", "") == "cross_two_pass"
+    has_scanline = name == "ad_census" and getattr(cfg, "scanline", None) is not None
+    if has_scanline and canonical:
+        t = (rows_budget - 4 * 2 * halo) / 14.0
+    elif has_scanline:
+        t = (rows_budget - 6 * 2 * halo) / 6.0
+    else:
+        t = (rows_budget - 4 * 2 * halo) / 4.0
+    t = int(t // 8 * 8)
+    if t < 16:
+        raise ValueError(
+            f"auto row_tile found no feasible band for {name!r} at "
+            f"[{h}, {w}] D={d} (halo {halo}, ~{row_bytes / 1e6:.0f} MB per "
+            "volume row); the workload exceeds single-chip streaming — "
+            "shard it with tiled_pipeline/gspmd_pipeline instead"
+        )
+    return min(t, h)
+
+
+def streamed_pipeline(name: str, cfg, row_tile=None):
     """Build a jittable ``(left, right) -> StereoResult`` running ``name``
     over sequential row bands of ``row_tile`` rows (plus exact halos).
 
     Peak live memory ~ one band's cost volume
     (``D x (row_tile + 2*halo) x W`` floats, double-buffered by XLA)
-    instead of the full ``D x H x W`` volume.
+    instead of the full ``D x H x W`` volume.  ``row_tile=None`` picks the
+    band height from the live-buffer model (:func:`auto_row_tile`) at
+    trace time.
     """
     _check_tiled_support(name, cfg)
-    if name == "ad_census" and cfg.aggregation == "cross_two_pass" and (
-        cfg.scanline is not None or cfg.run_post
-    ):
-        raise NotImplementedError(
-            "streamed execution does not implement the canonical "
-            "(cross_two_pass) scanline/post: the tso-scheduled penalties "
-            "need the D-deep matched-image stack per band and the region-"
-            "voting post has 5x-arm reach; use tiled_pipeline (sharded "
-            "canonical scanline + gathered canonical post), gspmd_pipeline "
-            "or the untiled pipeline"
-        )
+    canonical = name == "ad_census" and cfg.aggregation == "cross_two_pass"
     if getattr(cfg, "scanline", None) is not None:
         if name != "ad_census":
             raise NotImplementedError(
                 f"streamed scanline is implemented for ad_census, not {name!r}"
             )
+        if canonical:
+            return _ad_census_canonical_streamed(cfg, row_tile)
         return _ad_census_scanline_streamed(cfg, row_tile)
     core = _TILE_CORES[name]
     halo = receptive_field_rows(name, cfg)
-    t = row_tile
 
     def run(left, right, *aux):
         # ``aux``: extra per-pair images banded like left/right (asw 'lab')
         h = left.shape[0]
+        t = row_tile or auto_row_tile(name, cfg, h, left.shape[1])
         nb = -(-h // t)
         hp = nb * t
 
@@ -121,7 +183,202 @@ def streamed_pipeline(name: str, cfg, row_tile: int = 128):
 
         disp_final = occl = mism = None
         if getattr(cfg, "run_post", False) and name in _POST:
-            disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)
+            if canonical:
+                disp_final, occl, mism = _canonical_post_streamed(
+                    disp_l, disp_r, left, right, cfg, t
+                )
+            else:
+                disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)
+        return StereoResult(disp_l, disp_r, disp_final, occl, mism)
+
+    return run
+
+
+def _canonical_post_streamed(disp_l, disp_r, left, right, cfg, row_tile):
+    """Canonical (ADCensusOption) post on the gathered maps, as
+    `parallel.tiled` runs it: LR check at ``lrcheck_thres`` -> iterative
+    region voting over arms recomputed once from the full left image
+    ([H, W] ints, trivial next to the volume work) -> optional
+    discontinuity adjustment -> median.  The adjustment needs the
+    aggregated left volume at the voted disparities, which cannot be
+    materialized at streaming sizes — it runs as a third band sweep
+    (:func:`_discontinuity_adjustment_streamed`)."""
+    from stereo_match_traditional_tpu.models.ad_census import (
+        ad_census_post_canonical,
+    )
+    from stereo_match_traditional_tpu.ops import aggregate, post
+
+    cp = cfg.cross_params
+    arms_l = aggregate.canonical_cross_arms(left, cp)
+    if not cp.do_discontinuity_adjustment:
+        return ad_census_post_canonical(disp_l, disp_r, None, arms_l, cfg)
+    d = disp_l
+    occl = mism = None
+    if cp.do_lr_check:
+        lr = post.lr_check_consistency(
+            disp_l, disp_r, cp.lrcheck_thres, post.INVALID,
+            disp_range=cfg.disp_range,
+        )
+        d, occl, mism = lr.disp, lr.occlusion, lr.mismatch
+    if cp.do_filling:
+        d = post.iterative_region_voting(
+            d, arms_l, cfg.disp_range, cp.irv_ts, cp.irv_th,
+            invalid_value=post.INVALID,
+        )
+    d = _discontinuity_adjustment_streamed(d, left, right, cfg, row_tile)
+    d = post.median_filter(d, cfg.median_size, border="truncate")
+    return d, occl, mism
+
+
+def _discontinuity_adjustment_streamed(dmap, left, right, cfg, row_tile):
+    """`post.discontinuity_adjustment` over sequential row bands: the
+    adjustment is row-local (it consults a pixel's own aggregated costs at
+    its own and its horizontal neighbors' disparities), so each band
+    re-derives its aggregated left volume once and adjusts its rows —
+    exact, never materializing the full [D, H, W] volume."""
+    from stereo_match_traditional_tpu.ops import post
+
+    halo = receptive_field_rows("ad_census", cfg)
+    t = row_tile
+    h, w = dmap.shape
+    nb = -(-h // t)
+    hp = nb * t
+    lp = jnp.pad(left, ((halo, hp - h + halo), (0, 0)), mode="edge")
+    rp = jnp.pad(right, ((halo, hp - h + halo), (0, 0)), mode="edge")
+    dp = jnp.pad(dmap, ((0, hp - h), (0, 0)), mode="edge")
+
+    def band(b):
+        le = lax.dynamic_slice_in_dim(lp, b * t, t + 2 * halo, 0)
+        re = lax.dynamic_slice_in_dim(rp, b * t, t + 2 * halo, 0)
+        agg_l, _ = _ad_census_band_volumes(le, re, cfg, b * t - halo, h)
+        agg_l = crop_row_halo(agg_l, halo, 1)           # [D, t, W]
+        db = lax.dynamic_slice_in_dim(dp, b * t, t, 0)  # [t, W]
+        return post.discontinuity_adjustment(db, agg_l, post.INVALID)
+
+    bands = lax.map(band, jnp.arange(nb))
+    return bands.reshape(hp, w)[:h]
+
+
+def _ad_census_canonical_streamed(cfg, row_tile: int):
+    """Canonical AD-Census (cross_two_pass + tso-scheduled scanline on BOTH
+    volumes + canonical post, `models.ad_census_pipeline`'s ADCensusOption
+    mode) over sequential row bands on one chip — the canonical twin of
+    :func:`_ad_census_scanline_streamed` (VERDICT r3 item 1).
+
+    Same two-sweep band-carry design; per band and per view the penalties
+    come from `ops.scanline.canonical_scale` evaluated on the band's gray
+    rows plus a one-row halo and the band slice of the matched-image stack
+    ``g2`` (`CBLSM/adcensus_types.h:72` semantics via
+    `scanline.scanline_optimize_canonical`).  Addition order matches the
+    monolithic pass — ``(lr + rl) + (ud + du)`` then ``* 0.25`` — so
+    streamed == direct up to the band-local SAT tie-flip envelope.
+    """
+    cp = cfg.cross_params
+    p1, p2, tso = cp.so_p1, cp.so_p2, float(cp.so_tso)
+    halo = receptive_field_rows("ad_census", cfg)
+    d = cfg.disp_range
+
+    def run(left, right):
+        h, w = left.shape[:2]
+        t = row_tile or auto_row_tile("ad_census", cfg, h, w)
+        nb = -(-h // t)
+        hp = nb * t
+        pad = ((halo, hp - h + halo), (0, 0))
+        lp = jnp.pad(left, pad, mode="edge")
+        rp = jnp.pad(right, pad, mode="edge")
+
+        def band_parts(b):
+            """((agg, g, g2) per view) of band ``b``; ``g``/``g2`` carry a
+            one-row halo (rows b*t-1 .. b*t+t) for the vertical penalties."""
+            le = lax.dynamic_slice_in_dim(lp, b * t, t + 2 * halo, 0)
+            re = lax.dynamic_slice_in_dim(rp, b * t, t + 2 * halo, 0)
+            agg_l, agg_r = _ad_census_band_volumes(le, re, cfg, b * t - halo, h)
+            agg_l = crop_row_halo(agg_l, halo, 1)       # [D, t, W]
+            agg_r = crop_row_halo(agg_r, halo, 1)
+            gl = le[halo - 1:halo + t + 1].astype(jnp.float32)   # [t+2, W]
+            gr = re[halo - 1:halo + t + 1].astype(jnp.float32)
+            from stereo_match_traditional_tpu.ops.volume import shifted_stack
+
+            g2l = shifted_stack(gr, d, "left")          # [D, t+2, W]
+            g2r = shifted_stack(gl, d, "right")
+            return (agg_l, gl, g2l), (agg_r, gr, g2r)
+
+        def vert_inputs(agg, g, g2, up: bool):
+            """(cost, scale) of one vertical band pass, [t, D, W] each (band
+            rows reversed for the bottom-up pass).  The path-neighbor row
+            (r-1 down, r+1 up) comes from the one-row halo."""
+            lo, hi = (2, t + 2) if up else (0, t)
+            sc = canonical_scale(
+                g[1:t + 1], g[lo:hi],
+                jnp.transpose(g2[:, 1:t + 1], (1, 0, 2)),
+                jnp.transpose(g2[:, lo:hi], (1, 0, 2)),
+                tso,
+            )
+            cost = jnp.transpose(agg, (1, 0, 2))        # [t, D, W]
+            return (cost[::-1], sc[::-1]) if up else (cost, sc)
+
+        def horiz_band(agg, g, g2):
+            """Sum of the two (row-local) horizontal passes, [t, D, W]."""
+            c_wdt = jnp.transpose(agg, (2, 0, 1))       # [W, D, t]
+            g1_wt = g[1:t + 1].T
+            g2_wdt = jnp.transpose(g2[:, 1:t + 1], (2, 0, 1))
+            lr_ = _canonical_pass(c_wdt, g1_wt, g2_wdt, p1, p2, tso)
+            rl_ = _canonical_pass(
+                c_wdt[::-1], g1_wt[::-1], g2_wdt[::-1], p1, p2, tso
+            )
+            return jnp.transpose(lr_ + rl_[::-1], (2, 1, 0))
+
+        def reset_rows(b):
+            return ((b * t + jnp.arange(t)) == h - 1)[::-1]
+
+        zc = (jnp.zeros((d, w), jnp.float32), jnp.zeros((w,), jnp.float32))
+
+        # Sweep 1 (backward over bands): chain BOTH views' bottom-up passes,
+        # emitting each band's incoming carries.
+        def sweep_up(carry, b_rev):
+            cl, cr = carry
+            b = nb - 1 - b_rev
+            view_l, view_r = band_parts(b)
+            rs = reset_rows(b)
+            _, ncl = canonical_pass_banded(
+                *vert_inputs(*view_l, up=True), cl, rs, p1, p2
+            )
+            _, ncr = canonical_pass_banded(
+                *vert_inputs(*view_r, up=True), cr, rs, p1, p2
+            )
+            return (ncl, ncr), carry
+
+        _, up_in_rev = lax.scan(sweep_up, (zc, zc), jnp.arange(nb))
+        up_in = jax.tree_util.tree_map(lambda a: a[::-1], up_in_rev)
+
+        # Sweep 2 (forward): re-derive the band volumes, run 2 horizontal +
+        # 2 vertical band passes per view, average, WTA both views.
+        def sweep_down(carry, xs):
+            b, (ul, ur) = xs
+            rs = reset_rows(b)
+            view_l, view_r = band_parts(b)
+            new_carry = []
+            disps = []
+            for view, dn_c, up_c in ((view_l, carry[0], ul), (view_r, carry[1], ur)):
+                down, dn_out = canonical_pass_banded(
+                    *vert_inputs(*view, up=False), dn_c, None, p1, p2
+                )
+                up, _ = canonical_pass_banded(
+                    *vert_inputs(*view, up=True), up_c, rs, p1, p2
+                )
+                total = (horiz_band(*view) + (down + up[::-1])) * 0.25
+                disps.append(wta.wta(jnp.transpose(total, (1, 0, 2)), "min"))
+                new_carry.append(dn_out)
+            return tuple(new_carry), tuple(disps)
+
+        _, (dls, drs) = lax.scan(sweep_down, (zc, zc), (jnp.arange(nb), up_in))
+        disp_l = dls.reshape(hp, w)[:h]
+        disp_r = drs.reshape(hp, w)[:h]
+        disp_final = occl = mism = None
+        if cfg.run_post:
+            disp_final, occl, mism = _canonical_post_streamed(
+                disp_l, disp_r, left, right, cfg, t
+            )
         return StereoResult(disp_l, disp_r, disp_final, occl, mism)
 
     return run
@@ -141,7 +398,6 @@ def _ad_census_scanline_streamed(cfg, row_tile: int):
     vert_dm1 = not sl.faithful_vertical_l2
     vert_first = sl.faithful_vertical_p2
     halo = receptive_field_rows("ad_census", cfg)
-    t = row_tile
     d = cfg.disp_range
 
     def p2_of(g_cur, g_ref):
@@ -149,6 +405,7 @@ def _ad_census_scanline_streamed(cfg, row_tile: int):
 
     def run(left, right):
         h, w = left.shape[:2]
+        t = row_tile or auto_row_tile("ad_census", cfg, h, w)
         nb = -(-h // t)
         hp = nb * t
         pad = [(halo, hp - h + halo)] + [(0, 0)] * (left.ndim - 1)
@@ -242,9 +499,10 @@ _STREAMED_CACHE = {}
 
 
 def run_streamed(
-    name: str, left, right, cfg=None, row_tile: int = 128, aux=()
+    name: str, left, right, cfg=None, row_tile=None, aux=()
 ) -> StereoResult:
-    """One-shot convenience wrapper (compiled program cached per config)."""
+    """One-shot convenience wrapper (compiled program cached per config).
+    ``row_tile=None`` auto-sizes the band (:func:`auto_row_tile`)."""
     if cfg is None:
         from stereo_match_traditional_tpu.models.registry import get_pipeline
 

@@ -127,14 +127,96 @@ def test_streamed_variants_match_untiled():
     assert _mismatch(got.disp_left, want.disp_left, 10) <= 5e-3
 
 
-def test_streamed_rejects_canonical_scanline():
-    """The tso-scheduled canonical scanline (cross_two_pass mode) is not
-    streamed; the guard must reject rather than silently run the legacy
-    semantics."""
+def test_auto_row_tile_matches_recorded_sweeps():
+    """row_tile=None derives the band from the live-buffer model
+    (VERDICT r3 item 6), anchored on the round-3 4K/D=256 sweep
+    (BASELINE.md): rt=432 was the swept optimum, rt>=540 failed to
+    compile.  The model must land within 10% of the optimum and below
+    the compile boundary on a 16 GB part; at 720p everything fits, so
+    the pick degenerates to a single band."""
+    from stereo_match_traditional_tpu.parallel.streamed import auto_row_tile
+
+    mem = 16 * 2**30
+    full = cfgs.ADCensusConfig(
+        disp_range=256, scanline=cfgs.ScanlineConfig(), run_post=True
+    )
+    t4k = auto_row_tile("ad_census", full, 2160, 3840, memory_bytes=mem)
+    assert 432 * 0.9 <= t4k < 540, t4k
+
+    full_720 = cfgs.ADCensusConfig(
+        disp_range=128, scanline=cfgs.ScanlineConfig(), run_post=True
+    )
+    assert auto_row_tile("ad_census", full_720, 720, 1280, memory_bytes=mem) == 720
+
+    # canonical model: smaller bands (more live xs + 140-row halos), >= floor
+    canon = cfgs.ADCensusConfig(
+        disp_range=256, aggregation="cross_two_pass",
+        scanline=cfgs.ScanlineConfig(), run_post=True,
+    )
+    tc = auto_row_tile("ad_census", canon, 2160, 3840, memory_bytes=mem)
+    assert 16 <= tc < t4k, tc
+
+    # infeasible workloads reject with guidance instead of OOMing
+    with pytest.raises(ValueError):
+        auto_row_tile("ad_census", full, 2160, 3840, memory_bytes=2**30)
+
+    # the auto path runs end-to-end (tiny image -> single band)
+    L, R, _ = make_pair(24, 32, 6, seed=0)
+    cfg = cfgs.SADConfig(max_disparity=6, winsize=1)
+    fn, _ = get_pipeline("sad")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    got = run_streamed("sad", L, R, cfg)  # row_tile=None
+    assert np.array_equal(np.asarray(got.disp_left), np.asarray(want.disp_left))
+
+
+@pytest.mark.parametrize("da", [False, pytest.param(True, marks=pytest.mark.slow)])
+def test_streamed_canonical_matches_untiled(da):
+    """The canonical (ADCensusOption) family streams (VERDICT r3 item 1):
+    cross_two_pass aggregation + tso-scheduled scanline on BOTH volumes
+    (band-carried vertical continuations) + the canonical post on the
+    gathered maps — with the optional discontinuity adjustment as a third
+    band sweep — equals the direct executor.  Rows are a non-multiple of
+    the band size, exercising the padded-tail path-start reset."""
     cfg = cfgs.ADCensusConfig(
         disp_range=8, aggregation="cross_two_pass",
-        scanline=cfgs.ScanlineConfig(),
+        scanline=cfgs.ScanlineConfig(), run_post=True,
+        cross_params=cfgs.CrossAggregatorParams(
+            cross_l1=5, cross_l2=3, num_iters=2,
+            do_discontinuity_adjustment=da,
+        ),
     )
-    L, R, _ = make_pair(32, 40, 8, seed=2)
-    with pytest.raises(NotImplementedError):
-        run_streamed("ad_census", L, R, cfg)
+    L, R, _ = make_pair(37, 48, 8, seed=3)
+    fn, _ = get_pipeline("ad_census")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    got = run_streamed("ad_census", L, R, cfg, row_tile=16)
+    for field in ("disp_left", "disp_right", "disp_final", "occlusion", "mismatch"):
+        w, g = getattr(want, field), getattr(got, field)
+        assert (w is None) == (g is None), field
+        if w is None:
+            continue
+        frac = _mismatch(
+            g, w, ignore_cols=8,
+            side="right" if field == "disp_right" else "left",
+        )
+        assert frac <= 5e-3, (field, frac)
+
+
+@pytest.mark.slow
+def test_streamed_canonical_no_scanline_post():
+    """Canonical aggregation without scanline still routes the canonical
+    post chain (not the legacy one) on the gathered streamed maps."""
+    cfg = cfgs.ADCensusConfig(
+        disp_range=8, aggregation="cross_two_pass", run_post=True,
+        cross_params=cfgs.CrossAggregatorParams(cross_l1=5, cross_l2=3,
+                                                num_iters=2),
+    )
+    L, R, _ = make_pair(37, 48, 8, seed=3)
+    fn, _ = get_pipeline("ad_census")
+    want = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    got = run_streamed("ad_census", L, R, cfg, row_tile=16)
+    for field in ("disp_left", "disp_right", "disp_final"):
+        frac = _mismatch(
+            getattr(got, field), getattr(want, field), ignore_cols=8,
+            side="right" if field == "disp_right" else "left",
+        )
+        assert frac <= 5e-3, (field, frac)
