@@ -703,10 +703,21 @@ def asw_volume_approx_grid(
     color_sigma: float = 30.0,
     truncation: float = 40.0,
     bins: int = 12,
+    row_offset: int = 0,
+    global_rows: int = None,
 ) -> jax.Array:
     """APPROXIMATE left-view ASW volume via an intensity-binned bilateral
     grid (PBFIC / Durand-Dorsey style) — the classic constant-time
     bilateral trade, opt-in through ``ASWConfig(approx='grid')``.
+
+    ``row_offset``/``global_rows`` make the truncated-Gaussian row blur
+    global-boundary-aware on a halo-extended row tile (VERDICT r3 item 7):
+    the full-image blur implicitly contributes *nothing* outside the
+    image, so extended rows whose global coordinate falls outside
+    ``[0, global_rows)`` (edge-replicated halo padding) are zeroed out of
+    both the numerator and the kernel-mass blur inputs — a ``radius``-row
+    halo then reproduces the untiled blur exactly (up to matmul reduction
+    order over the shorter row axis).
 
     **Non-parity by design** (VERDICT r2 item 6): the exact kernel's cost
     is ``sum_o wL(p,o) wR(p-d,o) e / sum w`` with ~10 VPU ops per
@@ -742,6 +753,11 @@ def asw_volume_approx_grid(
     gh = _gauss_band_matrix(h, radius, space_sigma)
     gw = _gauss_band_matrix(w, radius, space_sigma)
     hi = jax.lax.Precision.HIGHEST
+    if global_rows is None:
+        row_ok = None
+    else:
+        gr = row_offset + jnp.arange(h)
+        row_ok = ((gr >= 0) & (gr < global_rows)).astype(jnp.float32)[:, None]
 
     def blur(x):
         t = jnp.einsum("hq,...qw->...hw", gh, x,
@@ -756,6 +772,8 @@ def asw_volume_approx_grid(
     for b in range(bins):
         c = centers[b]
         kb = jnp.exp(-((lf - c) ** 2) * inv2sc)                # [H, W]
+        if row_ok is not None:
+            kb = kb * row_ok
         jb = blur(kb[None] * e) / jnp.maximum(blur(kb), 1e-20)[None]
         hat = jnp.maximum(0.0, 1.0 - jnp.abs(lf - c) / step)   # [H, W]
         out = out + hat[None] * jb

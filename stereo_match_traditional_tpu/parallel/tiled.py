@@ -133,6 +133,14 @@ def _asw_tile(le, re, cfg, ro_ext, rows, halo, axis_name, aux=()):
         vol_l = volume.asw_lab_volume(
             le, re, aux[0], aux[1], faithful_lut=cfg.lab_faithful_lut, **kw
         )
+    elif cfg.approx == "grid":
+        # opt-in constant-time approximation: the truncated-Gaussian row
+        # blur is global-boundary-aware, so the radius-row halo is exact
+        # (volume.asw_volume_approx_grid row_offset/global_rows)
+        vol_l = volume.asw_volume_approx_grid(
+            le, re, bins=cfg.approx_bins, row_offset=ro_ext,
+            global_rows=rows, **kw
+        )
     else:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
@@ -320,32 +328,25 @@ def _post_sharded(name: str):
 
 
 def _check_tiled_support(name: str, cfg) -> None:
-    """Reject config variants the tile cores do not implement (run the
-    untiled pipeline or `parallel.gspmd` for those — GSPMD supports every
-    variant).  Round 3 closed the variant gaps: ncc 'shifted', asw 'lab'
-    (Lab pair via aux inputs) and every cblsm cost/aggregation now run
-    tiled; the only remaining rejection is the opt-in ASW grid
-    approximation (its truncated Gaussian blurs are not exact under
-    edge-replicated halos)."""
-    unsupported = None
+    """Reject unknown config variants with the same errors as the direct
+    pipelines.  Rounds 3-4 closed every variant gap — ncc 'shifted', asw
+    'lab' (Lab pair via aux inputs), the asw grid approximation
+    (global-boundary-aware blurs) and every cblsm cost/aggregation run
+    on the tiled and streamed executors."""
     if name == "ncc" and cfg.variant not in ("window", "shifted"):
         raise ValueError(f"unknown ncc variant {cfg.variant!r}")
     elif name == "asw" and cfg.variant not in ("bilateral", "lab"):
         raise ValueError(f"unknown asw variant {cfg.variant!r}")
-    elif name == "asw" and getattr(cfg, "approx", "none") != "none":
-        unsupported = f"asw approx={cfg.approx!r}"
+    elif name == "asw" and getattr(cfg, "approx", "none") not in ("none", "grid"):
+        raise ValueError(
+            f"unknown ASW approx {cfg.approx!r}; expected 'none' or 'grid'"
+        )
     elif name == "ad_census" and cfg.aggregation not in (
         "rect_mean", "cross_two_pass", "none"
     ):
         raise ValueError(
             f"unknown aggregation {cfg.aggregation!r}; "
             "expected 'rect_mean', 'cross_two_pass' or 'none'"
-        )
-    if unsupported is not None:
-        raise NotImplementedError(
-            f"tiled execution does not implement {unsupported}; use the "
-            "untiled pipeline or parallel.gspmd_pipeline (semantics-exact "
-            "for every variant)"
         )
 
 

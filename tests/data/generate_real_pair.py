@@ -28,6 +28,41 @@ from stereo_match_traditional_tpu.utils import io as io_utils
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 H, W, D = 128, 192, 24
+# serving-range pair (VERDICT r3 item 8): D >= 64 with real texture
+H64, W64, D64 = 192, 256, 64
+
+
+def _write_pair(gray, row0, col0, h, w, d, prefix) -> None:
+    # a textured crop (face + uniform's braid + background edge), width
+    # w + d columns so the left view has true texture for every shift
+    tex = gray[row0 : row0 + h, col0 : col0 + w + d]
+    assert tex.shape == (h, w + d), tex.shape
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((3, 4))
+    ys = np.linspace(0, 1.999, h).astype(int)
+    xs = np.linspace(0, 2.999, w).astype(int)
+    disp = 2.0 + (base[np.ix_(ys, xs)] - base.min()) / (base.max() - base.min() + 1e-9) * (d * 0.45)
+    disp[h // 4 : 3 * h // 4, w // 3 : 2 * w // 3] = d * 0.75
+    disp = np.clip(np.round(disp), 1, d - 2).astype(np.int32)
+
+    left = tex[:, d : d + w]
+    right = tex[:, :w].copy()
+    rows = np.arange(h)[:, None].repeat(w, 1)
+    cols = np.arange(w)
+    tgt = cols[None, :] - disp
+    valid = tgt >= 0
+    right[rows[valid], tgt[valid]] = left[valid]
+
+    def u8(x):
+        return np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+
+    io_utils.imwrite(os.path.join(HERE, f"{prefix}_left.png"), u8(left))
+    io_utils.imwrite(os.path.join(HERE, f"{prefix}_right.png"), u8(right))
+    io_utils.write_pfm(
+        os.path.join(HERE, f"{prefix}_gt.pfm"), disp.astype(np.float32)
+    )
+    print(f"wrote {prefix} pair {h}x{w}, D={d} -> {HERE}")
 
 
 def main() -> None:
@@ -40,35 +75,8 @@ def main() -> None:
     img = io_utils.imread(src)
     gray = io_utils.rgb_to_gray_u8(img).astype(np.float64) / 255.0
 
-    # a textured crop (face + uniform's braid + background edge): rows from
-    # the upper half, width W + D columns so the left view has true texture
-    # for every disparity shift
-    tex = gray[120 : 120 + H, 140 : 140 + W + D]
-    assert tex.shape == (H, W + D), tex.shape
-
-    rng = np.random.default_rng(7)
-    base = rng.standard_normal((3, 4))
-    ys = np.linspace(0, 1.999, H).astype(int)
-    xs = np.linspace(0, 2.999, W).astype(int)
-    disp = 2.0 + (base[np.ix_(ys, xs)] - base.min()) / (base.max() - base.min() + 1e-9) * (D * 0.45)
-    disp[H // 4 : 3 * H // 4, W // 3 : 2 * W // 3] = D * 0.75
-    disp = np.clip(np.round(disp), 1, D - 2).astype(np.int32)
-
-    left = tex[:, D : D + W]
-    right = tex[:, :W].copy()
-    rows = np.arange(H)[:, None].repeat(W, 1)
-    cols = np.arange(W)
-    tgt = cols[None, :] - disp
-    valid = tgt >= 0
-    right[rows[valid], tgt[valid]] = left[valid]
-
-    def u8(x):
-        return np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
-
-    io_utils.imwrite(os.path.join(HERE, "real_left.png"), u8(left))
-    io_utils.imwrite(os.path.join(HERE, "real_right.png"), u8(right))
-    io_utils.write_pfm(os.path.join(HERE, "real_gt.pfm"), disp.astype(np.float32))
-    print(f"wrote real pair {H}x{W}, D={D} -> {HERE}")
+    _write_pair(gray, 120, 140, H, W, D, "real")
+    _write_pair(gray, 100, 100, H64, W64, D64, "real64")
 
 
 if __name__ == "__main__":

@@ -136,8 +136,9 @@ def test_asw_approx_rejects_lab_and_unknown(small_pair):
         asw_pipeline(L, R, ASWConfig(approx="bogus"))
 
 
-def test_asw_approx_rejected_by_tiled():
+def test_tiled_support_rejects_unknown_approx():
     from stereo_match_traditional_tpu.parallel.tiled import _check_tiled_support
 
-    with pytest.raises(NotImplementedError, match="approx"):
-        _check_tiled_support("asw", ASWConfig(approx="grid"))
+    _check_tiled_support("asw", ASWConfig(approx="grid"))  # round-4: supported
+    with pytest.raises(ValueError, match="approx"):
+        _check_tiled_support("asw", ASWConfig(approx="bogus"))

@@ -1,13 +1,15 @@
-"""Pipelines on a REAL photograph (tests/data/real_*.png).
+"""Pipelines on a REAL photograph (tests/data/real*_*.png).
 
-Until now every test pixel was procedural; this pair warps matplotlib's
+Until now every test pixel was procedural; these pairs warp matplotlib's
 bundled public-domain Grace Hopper portrait (see
 tests/data/generate_real_pair.py) so real-texture pathologies — sensor
 noise, JPEG artifacts, saturated/near-uniform regions — reach the
-matchers (VERDICT r2 "what's weak" item 5).  Thresholds carry margin
-over the measured rates (sad 0.069, ad_census 0.069, cblsm 0.071,
-asw 0.052, ncc 0.175 — NCC's includes its excluded interior border
-counting as bad, `NCC.h:72-75`).
+matchers (VERDICT r2 "what's weak" item 5).  Budgets are ~1.2x the
+measured rates (VERDICT r3 item 8; regression tripwires AND honest
+accuracy claims): at D=24 sad 0.0693, ad_census 0.0685, cblsm 0.0711,
+asw 0.0519, ncc 0.1753 (NCC's includes its excluded interior border
+counting as bad, `NCC.h:72-75`); at the serving-range D=64 pair
+(192x256) sad 0.1390, ad_census 0.1113, cblsm 0.1199, ncc 0.2157.
 
 Also cross-checks the flagship against the independent C++
 implementation on the real pair — extending test_cpp_parity's synthetic
@@ -43,21 +45,52 @@ def real_pair():
 @pytest.mark.parametrize(
     "name,cfg,budget",
     [
-        ("sad", cfgs.SADConfig(max_disparity=D, winsize=2), 0.12),
-        ("ad_census", cfgs.ADCensusConfig(disp_range=D), 0.12),
-        pytest.param("cblsm", cfgs.CBLSMConfig(disp_range=D), 0.12,
+        ("sad", cfgs.SADConfig(max_disparity=D, winsize=2), 0.084),
+        ("ad_census", cfgs.ADCensusConfig(disp_range=D), 0.083),
+        pytest.param("cblsm", cfgs.CBLSMConfig(disp_range=D), 0.086,
                      marks=pytest.mark.slow),
         pytest.param(
             "asw",
             cfgs.ASWConfig(disp_range=D, win_size=5, use_pallas=False,
                            run_post=False),
-            0.10, marks=pytest.mark.slow,
+            0.063, marks=pytest.mark.slow,
         ),
-        ("ncc", cfgs.NCCConfig(disp_range=D, win_size=4), 0.25),
+        ("ncc", cfgs.NCCConfig(disp_range=D, win_size=4), 0.21),
     ],
 )
 def test_real_texture_accuracy(real_pair, name, cfg, budget):
     L, R, gt = real_pair
+    fn, _ = get_pipeline(name)
+    res = jax.jit(lambda l, r: fn(l, r, cfg))(jnp.asarray(L), jnp.asarray(R))
+    b2 = bad_pixel_rate(np.asarray(res.disp_left), gt)
+    assert b2 < budget, (name, b2)
+
+
+D64 = 64
+
+
+@pytest.fixture(scope="module")
+def real_pair_64():
+    L = io.imread(os.path.join(_DATA, "real64_left.png"))
+    R = io.imread(os.path.join(_DATA, "real64_right.png"))
+    gt = io.read_gt_disparity(os.path.join(_DATA, "real64_gt.pfm"))
+    return L, R, gt
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,cfg,budget",
+    [
+        ("sad", cfgs.SADConfig(max_disparity=D64, winsize=2), 0.17),
+        ("ad_census", cfgs.ADCensusConfig(disp_range=D64), 0.135),
+        ("cblsm", cfgs.CBLSMConfig(disp_range=D64), 0.145),
+        ("ncc", cfgs.NCCConfig(disp_range=D64, win_size=4), 0.26),
+    ],
+)
+def test_real_texture_accuracy_serving_range(real_pair_64, name, cfg, budget):
+    """Serving-range (D=64) real-texture accuracy (VERDICT r3 item 8) —
+    budgets ~1.2x the measured rates in the module docstring."""
+    L, R, gt = real_pair_64
     fn, _ = get_pipeline(name)
     res = jax.jit(lambda l, r: fn(l, r, cfg))(jnp.asarray(L), jnp.asarray(R))
     b2 = bad_pixel_rate(np.asarray(res.disp_left), gt)

@@ -126,6 +126,14 @@ def test_streamed_variants_match_untiled():
     got = run_streamed("asw", L, R, cfg, row_tile=16, aux=(lab_l, lab_r))
     assert _mismatch(got.disp_left, want.disp_left, 10) <= 5e-3
 
+    # round-4: the ASW grid approximation streams (global-boundary-aware
+    # truncated-Gaussian blurs, VERDICT r3 item 7)
+    cfg = cfgs.ASWConfig(disp_range=10, win_size=2, approx="grid",
+                         approx_bins=6, run_post=False)
+    want = fa(jnp.asarray(L), jnp.asarray(R), cfg)
+    got = run_streamed("asw", L, R, cfg, row_tile=16)
+    assert _mismatch(got.disp_left, want.disp_left, 10) <= 5e-3
+
 
 def test_auto_row_tile_matches_recorded_sweeps():
     """row_tile=None derives the band from the live-buffer model
