@@ -14,6 +14,7 @@ from stereo_match_traditional_tpu.parallel.tiled import (  # noqa: F401
     tiled_pipeline,
 )
 from stereo_match_traditional_tpu.parallel.streamed import (  # noqa: F401
+    auto_row_tile,
     run_streamed,
     streamed_pipeline,
 )
