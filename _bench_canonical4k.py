@@ -18,8 +18,10 @@ ROWS, COLS, D = 2160, 3840, 256
 
 
 def run(label, cfg, accuracy_only=False):
+    import jax
+
     t = auto_row_tile("ad_census", cfg, ROWS, COLS)
-    fn = streamed_pipeline("ad_census", cfg)
+    fn = jax.jit(streamed_pipeline("ad_census", cfg))
     L, R, gt = make_pair(ROWS, COLS, D, seed=0)
     Lj, Rj = jnp.asarray(L), jnp.asarray(R)
     res = fn(Lj, Rj)
@@ -35,9 +37,18 @@ def run(label, cfg, accuracy_only=False):
     print(line, flush=True)
 
 
-run("4K active streamed", ADCensusConfig(disp_range=D), accuracy_only=True)
-run("4K FULL legacy streamed",
-    ADCensusConfig(disp_range=D, scanline=ScanlineConfig(), run_post=True))
-run("4K canonical streamed",
-    ADCensusConfig(disp_range=D, aggregation="cross_two_pass",
-                   scanline=ScanlineConfig(), run_post=True))
+if __name__ == "__main__":
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "active"):
+        run("4K active streamed", ADCensusConfig(disp_range=D),
+            accuracy_only=True)
+    if which in ("all", "legacy"):
+        run("4K FULL legacy streamed",
+            ADCensusConfig(disp_range=D, scanline=ScanlineConfig(),
+                           run_post=True))
+    if which in ("all", "canonical"):
+        run("4K canonical streamed",
+            ADCensusConfig(disp_range=D, aggregation="cross_two_pass",
+                           scanline=ScanlineConfig(), run_post=True))

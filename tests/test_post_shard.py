@@ -133,20 +133,19 @@ def test_asw_shard_post_padding_rows_cannot_perturb_normalize():
     np.testing.assert_array_equal(np.asarray(got)[:h_real], np.asarray(want))
 
 
-def test_tiled_accepts_canonical_streamed_rejects():
-    """Round 3: the tiled executor runs the canonical (cross_two_pass)
+def test_tiled_and_streamed_accept_canonical():
+    """Round 4: BOTH executors build the canonical (cross_two_pass)
     scanline/post (invariance asserted in
-    test_parallel.test_tiled_canonical_scanline_and_post); streamed still
-    rejects it rather than silently downgrading to the legacy semantics."""
+    test_parallel.test_tiled_canonical_scanline_and_post and
+    test_streamed.test_streamed_canonical_matches_untiled)."""
     mesh = make_mesh(8, ("tile",))
     from stereo_match_traditional_tpu.config import ScanlineConfig
     from stereo_match_traditional_tpu.parallel.streamed import streamed_pipeline
 
     for kw in (dict(scanline=ScanlineConfig()), dict(run_post=True)):
         cfg = ADCensusConfig(disp_range=8, aggregation="cross_two_pass", **kw)
-        tiled_pipeline("ad_census", cfg, mesh)  # builds without raising
-        with pytest.raises(NotImplementedError, match="canonical"):
-            streamed_pipeline("ad_census", cfg)
+        tiled_pipeline("ad_census", cfg, mesh)   # builds without raising
+        streamed_pipeline("ad_census", cfg)      # round 4: builds too
 
 
 def test_ncc_tile_disp_rejects_shifted_variant():
