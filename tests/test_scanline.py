@@ -1,5 +1,6 @@
 """Scanline optimizer vs. naive DP oracle."""
 
+import jax.numpy as jnp
 import numpy as np
 
 import oracles
@@ -121,3 +122,35 @@ def test_faithful_vertical_p2_uses_column_start():
     # horizontal passes are identity-ish: lr = rl = cost -> 2*cost
     got_vert = got[:, :, 0] - 2.0 * c
     np.testing.assert_allclose(got_vert, want_vert, rtol=1e-5, atol=1e-4)
+
+
+def test_canonical_pass_banded_matches_monolithic():
+    """Band continuation of the canonical tso pass == the monolithic
+    `_canonical_pass`, bitwise, for any band split (the streamed canonical
+    executor's building block): a zero carry is the exact path seed and the
+    chunked steps evaluate in the same order."""
+    from stereo_match_traditional_tpu.ops.scanline import (
+        _canonical_pass, canonical_pass_banded, canonical_scale,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, m = 13, 5, 7
+    cost = jnp.asarray(rng.random((n, d, m)).astype(np.float32))
+    g1 = jnp.asarray(rng.integers(0, 256, (n, m)).astype(np.float32))
+    g2 = jnp.asarray(rng.integers(0, 256, (n, d, m)).astype(np.float32))
+    p1, p2, tso = 1.0, 3.0, 15.0
+
+    want = np.asarray(_canonical_pass(cost, g1, g2, p1, p2, tso))
+
+    scale = canonical_scale(
+        g1, jnp.concatenate([g1[:1], g1[:-1]]),
+        g2, jnp.concatenate([g2[:1], g2[:-1]]), tso,
+    )
+    carry = (jnp.zeros((d, m), jnp.float32), jnp.zeros((m,), jnp.float32))
+    pieces = []
+    for lo, hi in ((0, 4), (4, 9), (9, n)):
+        out, carry = canonical_pass_banded(
+            cost[lo:hi], scale[lo:hi], carry, None, p1, p2)
+        pieces.append(np.asarray(out))
+    got = np.concatenate(pieces, axis=0)
+    np.testing.assert_array_equal(got, want)
