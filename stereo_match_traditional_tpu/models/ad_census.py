@@ -114,7 +114,8 @@ def ad_census_pipeline(
         with stage_scope("post"):
             if canonical:
                 disp_final, occl, mism = ad_census_post_canonical(
-                    disp_l, disp_r, agg_l, arms_l, cfg
+                    disp_l, disp_r, agg_l, arms_l, cfg,
+                    irv_d_chunk=irv_auto_d_chunk(*disp_l.shape, cfg.disp_range),
                 )
             else:
                 disp_final, occl, mism = ad_census_post(disp_l, disp_r, cfg)
@@ -134,12 +135,29 @@ def ad_census_pipeline(
     return result
 
 
-def ad_census_post_canonical(disp_l, disp_r, agg_l, arms_l, cfg: ADCensusConfig):
+def irv_auto_d_chunk(h: int, w: int, disp_range: int):
+    """``d_chunk`` for :func:`post.iterative_region_voting` at an [h, w]
+    map: ``None`` (monolithic [D, H, W] histogram) while that fits in
+    512 MB, else enough disparity slices for ~256 MB of one-hots.
+    Chunking is bitwise-exact (see iterative_region_voting), so this is a
+    pure memory/scheduling choice — at 4K/D=256 the monolithic histogram
+    is 8.5 GB and cannot run on one chip."""
+    if disp_range * h * w * 4 <= 512e6:
+        return None
+    return max(8, int(256e6 / (h * w * 4)))
+
+
+def ad_census_post_canonical(disp_l, disp_r, agg_l, arms_l, cfg: ADCensusConfig,
+                             irv_d_chunk=None):
     """Canonical post chain for the `cross_two_pass` (ADCensusOption) mode:
     LR check at ``lrcheck_thres`` -> iterative region voting fill ->
     optional discontinuity adjustment -> median.  Implements the semantics
     the vendored `adcensus_types.h:72-75` fields declare (VERDICT r1
-    item 9); each stage is gated by its canonical do_* flag."""
+    item 9); each stage is gated by its canonical do_* flag.
+
+    ``irv_d_chunk`` bounds the voting histogram's memory (exact — see
+    :func:`post.iterative_region_voting`); the streamed executor sets it so
+    the post never materializes ``[D, H, W]`` at serving sizes."""
     cp = cfg.cross_params
     d = disp_l
     occl = mism = None
@@ -152,7 +170,7 @@ def ad_census_post_canonical(disp_l, disp_r, agg_l, arms_l, cfg: ADCensusConfig)
     if cp.do_filling:
         d = post.iterative_region_voting(
             d, arms_l, cfg.disp_range, cp.irv_ts, cp.irv_th,
-            invalid_value=post.INVALID,
+            invalid_value=post.INVALID, d_chunk=irv_d_chunk,
         )
     if cp.do_discontinuity_adjustment:
         d = post.discontinuity_adjustment(d, agg_l, post.INVALID)

@@ -90,7 +90,7 @@ def finish_from_volumes(name: str, vol_l, vol_r, cfg, arms_left=None):
         and cfg.aggregation == "cross_two_pass"
     ):
         from stereo_match_traditional_tpu.models.ad_census import (
-            ad_census_post_canonical,
+            ad_census_post_canonical, irv_auto_d_chunk,
         )
         from stereo_match_traditional_tpu.ops.aggregate import Arms
 
@@ -108,7 +108,10 @@ def finish_from_volumes(name: str, vol_l, vol_r, cfg, arms_left=None):
             arms = arms_left
         else:
             arms = Arms(*(jnp.asarray(a) for a in arms_left))
-        fin, occl, mism = ad_census_post_canonical(disp_l, disp_r, vol_l, arms, cfg)
+        fin, occl, mism = ad_census_post_canonical(
+            disp_l, disp_r, vol_l, arms, cfg,
+            irv_d_chunk=irv_auto_d_chunk(*disp_l.shape, cfg.disp_range),
+        )
         return StereoResult(disp_l, disp_r, fin, occl, mism)
     post_fn = ad_census_post if name == "ad_census" else cblsm_post
     if cfg.run_post:

@@ -759,6 +759,7 @@ def iterative_region_voting(
     num_iters: int = 5,
     invalid_value: float = INVALID,
     max_arm: Optional[int] = None,
+    d_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Canonical iterative region voting (`irv_ts`/`irv_th`,
     `adcensus_types.h:73`).
@@ -773,21 +774,62 @@ def iterative_region_voting(
     ``arms`` is an `aggregate.Arms` (canonical `canonical_cross_arms` in
     the canonical pipeline).  O(D) one-hot slices per iteration — each a
     prefix-sum + 2 gathers, no scatter.
+
+    ``d_chunk`` bounds peak memory to ``d_chunk`` one-hot slices instead of
+    the full ``[D, H, W]`` histogram (a serving-size necessity: 8.5 GB at
+    4K/D=256).  Chunking is EXACT, not an approximation: per-bin vote
+    counts are independent across ``d``; the running total is an integer
+    sum that f32 holds exactly (``<= D * (2*L1+1)^2 < 2**24``); and the
+    strictly-greater running argmax over ascending chunks reproduces
+    ``argmax``'s first-max rule bitwise.
     """
     from stereo_match_traditional_tpu.ops.aggregate import _hsum, _vsum
 
-    ds = jnp.arange(disp_range, dtype=jnp.float32)
+    def bin_votes(dint, ds):
+        onehot = (dint[None] == ds[:, None, None]).astype(jnp.float32)
+        return _vsum(
+            _hsum(onehot, arms.left, arms.right, max_arm), arms.up, arms.down, max_arm
+        )
+
+    if d_chunk is None or d_chunk >= disp_range:
+        def histogram(dint):
+            votes = bin_votes(dint, jnp.arange(disp_range, dtype=jnp.float32))
+            return jnp.sum(votes, axis=0), jnp.max(votes, axis=0), jnp.argmax(votes, axis=0)
+    else:
+        nc = -(-disp_range // d_chunk)
+
+        def histogram(dint):
+            h, w = dint.shape
+            init = (
+                jnp.zeros((h, w), jnp.float32),
+                jnp.full((h, w), -1.0, jnp.float32),
+                jnp.zeros((h, w), jnp.int32),
+            )
+
+            def chunk(carry, c0):
+                total, bestv, best = carry
+                # overrun bins (>= disp_range) collect zero votes and the
+                # strict > below never selects a zero over a seen >= 0 max
+                ds = (c0 + jnp.arange(d_chunk)).astype(jnp.float32)
+                votes = bin_votes(dint, ds)
+                cv = jnp.max(votes, axis=0)
+                ci = jnp.argmax(votes, axis=0).astype(jnp.int32) + c0
+                upd = cv > bestv
+                return (
+                    total + jnp.sum(votes, axis=0),
+                    jnp.where(upd, cv, bestv),
+                    jnp.where(upd, ci, best),
+                ), None
+
+            (total, bestv, best), _ = jax.lax.scan(
+                chunk, init, jnp.arange(nc, dtype=jnp.int32) * d_chunk
+            )
+            return total, bestv, best
 
     def one_iter(d):
         valid = d != invalid_value
         dint = jnp.where(valid, jnp.round(d), -1.0)
-        onehot = (dint[None] == ds[:, None, None]).astype(jnp.float32)
-        votes = _vsum(
-            _hsum(onehot, arms.left, arms.right, max_arm), arms.up, arms.down, max_arm
-        )
-        total = jnp.sum(votes, axis=0)
-        best = jnp.argmax(votes, axis=0)
-        bestv = jnp.max(votes, axis=0)
+        total, bestv, best = histogram(dint)
         fill = (~valid) & (total > ts) & (bestv > th * total)
         return jnp.where(fill, best.astype(d.dtype), d)
 

@@ -99,10 +99,14 @@ def auto_row_tile(name: str, cfg, h: int, w: int, memory_bytes=None) -> int:
     each ``[t + 2*halo, D, W]`` f32; rt=432 (12.0 GB modeled) compiles
     and is the swept optimum while rt=540 (14.5 GB) exceeds HBM — so the
     budget is 70% of device memory, which lands the 4K pick exactly on
-    the swept 432.  The canonical scanline adds the per-(pixel, d)
-    penalty-scale xs and a second view (~10 band buffers + 4 halo'd
-    aggregation bands); the plain banded paths keep ~4 halo'd band
-    volumes (`lax.map` double buffering + aggregation internals).
+    the swept 432.  The canonical branch is calibrated against compiled
+    ``memory_analysis()`` at 4K/D=256 (round 4): temp = 7.85 GiB at
+    rt=128, 10.05 GiB at rt=216, >HBM at rt=432 — slope ~7 volume-rows
+    per tile row (both views' aggregated + cost bands across the two
+    sweeps) with a ~4.5x(2*halo) fixed part (the halo'd cross-
+    aggregation working set; the chunked-IRV post adds no band term).
+    The plain banded paths keep ~4 halo'd band volumes (`lax.map`
+    double buffering + aggregation internals).
     """
     d = getattr(cfg, "disp_range", getattr(cfg, "max_disparity", 1))
     halo = receptive_field_rows(name, cfg)
@@ -112,7 +116,7 @@ def auto_row_tile(name: str, cfg, h: int, w: int, memory_bytes=None) -> int:
     canonical = name == "ad_census" and getattr(cfg, "aggregation", "") == "cross_two_pass"
     has_scanline = name == "ad_census" and getattr(cfg, "scanline", None) is not None
     if has_scanline and canonical:
-        t = (rows_budget - 4 * 2 * halo) / 14.0
+        t = (rows_budget - 4.5 * 2 * halo) / 8.0
     elif has_scanline:
         t = (rows_budget - 6 * 2 * halo) / 6.0
     else:
@@ -204,14 +208,21 @@ def _canonical_post_streamed(disp_l, disp_r, left, right, cfg, row_tile):
     materialized at streaming sizes — it runs as a third band sweep
     (:func:`_discontinuity_adjustment_streamed`)."""
     from stereo_match_traditional_tpu.models.ad_census import (
-        ad_census_post_canonical,
+        ad_census_post_canonical, irv_auto_d_chunk,
     )
     from stereo_match_traditional_tpu.ops import aggregate, post
 
     cp = cfg.cross_params
     arms_l = aggregate.canonical_cross_arms(left, cp)
+    # Bound the IRV histogram (exact chunking, see
+    # post.iterative_region_voting) — the full [D, H, W] histogram is
+    # 8.5 GB at 4K/D=256 and was the one full-image volume left in the
+    # streamed canonical path.
+    h, w = disp_l.shape
+    dc = irv_auto_d_chunk(h, w, cfg.disp_range)
     if not cp.do_discontinuity_adjustment:
-        return ad_census_post_canonical(disp_l, disp_r, None, arms_l, cfg)
+        return ad_census_post_canonical(disp_l, disp_r, None, arms_l, cfg,
+                                        irv_d_chunk=dc)
     d = disp_l
     occl = mism = None
     if cp.do_lr_check:
@@ -223,7 +234,7 @@ def _canonical_post_streamed(disp_l, disp_r, left, right, cfg, row_tile):
     if cp.do_filling:
         d = post.iterative_region_voting(
             d, arms_l, cfg.disp_range, cp.irv_ts, cp.irv_th,
-            invalid_value=post.INVALID,
+            invalid_value=post.INVALID, d_chunk=dc,
         )
     d = _discontinuity_adjustment_streamed(d, left, right, cfg, row_tile)
     d = post.median_filter(d, cfg.median_size, border="truncate")

@@ -453,7 +453,7 @@ def tiled_pipeline(
                 # aggregated left volume -> median; exactly
                 # models.ad_census.ad_census_post_canonical
                 from stereo_match_traditional_tpu.models.ad_census import (
-                    ad_census_post_canonical,
+                    ad_census_post_canonical, irv_auto_d_chunk,
                 )
 
                 arms_l = aggregate.canonical_cross_arms(left, cfg.cross_params)
@@ -463,7 +463,8 @@ def tiled_pipeline(
                     else jnp.moveaxis(agg_full[:h], 0, 1)  # [D, H, W]
                 )
                 disp_final, occl, mism = ad_census_post_canonical(
-                    disp_l, disp_r, agg_arg, arms_l, cfg
+                    disp_l, disp_r, agg_arg, arms_l, cfg,
+                    irv_d_chunk=irv_auto_d_chunk(h, w, cfg.disp_range),
                 )
             else:
                 disp_final, occl, mism = _POST[name](disp_l, disp_r, cfg)

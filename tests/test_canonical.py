@@ -130,6 +130,34 @@ def test_iterative_region_voting_matches_oracle():
     np.testing.assert_array_equal(got, want)
 
 
+def test_iterative_region_voting_d_chunked_bitwise():
+    """Chunked voting histograms (the streamed executor's memory bound) are
+    the SAME function: per-bin counts are d-independent, f32 totals are
+    exact integers, the running strict-> argmax keeps argmax's first-max
+    rule — including a chunk count that does not divide disp_range."""
+    rng = np.random.default_rng(7)
+    h, w, d_n = 17, 23, 11
+    disp = rng.integers(0, d_n, (h, w)).astype(np.float32)
+    disp[rng.random((h, w)) < 0.35] = INF
+    img = (rng.random((h, w)) * 40).astype(np.uint8)
+    arms = aggregate.canonical_cross_arms(
+        jnp.asarray(img), cfgs.CrossAggregatorParams(cross_l1=3, cross_l2=2)
+    )
+    want = np.asarray(
+        post.iterative_region_voting(
+            jnp.asarray(disp), arms, d_n, ts=4.0, th=0.4, num_iters=2
+        )
+    )
+    for dc in (1, 3, 4, 11, 64):
+        got = np.asarray(
+            post.iterative_region_voting(
+                jnp.asarray(disp), arms, d_n, ts=4.0, th=0.4, num_iters=2,
+                d_chunk=dc,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"d_chunk={dc}")
+
+
 def test_discontinuity_adjustment_picks_cheaper_neighbor():
     d_n, h, w = 4, 3, 5
     vol = np.full((d_n, h, w), 5.0, np.float32)
