@@ -17,7 +17,8 @@ def cblsm_post(disp_l, disp_r, cfg: CBLSMConfig):
         disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
     )
     dmap = post.remove_speckles(
-        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID,
+        block=cfg.speckle_block,
     )
     dmap = post.median_filter(dmap, cfg.median_size, border="truncate")
     return dmap, lr.occlusion, lr.mismatch

@@ -174,6 +174,7 @@ def remove_speckles(
     background: Optional[float] = None,
     max_iters: Optional[int] = None,
     connectivity: int = 8,
+    block: Optional[int] = None,
 ) -> jax.Array:
     """Connected-component speckle filter (`SAD/Sad.h:251-315`,
     `AD-CensusV1/PostProcessing.h:250-311`; also covers OpenCV
@@ -202,6 +203,13 @@ def remove_speckles(
     inputs.  ``connectivity=4`` restricts edges to the axis
     neighbors — OpenCV ``filterSpeckles`` semantics (the ASW driver's
     `ASWeight.cpp:73`); the reference's own BFS variants are 8-connected.
+
+    ``block``: two-level block CCL (exact — see :func:`_merge_block_labels`):
+    the sweep fixpoint runs with connectivity CUT at ``block``-multiple
+    rows/columns (fewer rounds: min-label paths never cross a block), then
+    the cut edges — a static ~4HW/block subset — are closed by
+    hook-and-jump min propagation on the label array.  ``None`` keeps the
+    single-level flood.
     """
     if connectivity not in (4, 8):
         raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
@@ -217,7 +225,14 @@ def remove_speckles(
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     labels0 = jnp.where(valid, idx, big)
 
-    sweep = _speckle_sweep_fn(d, valid, diff_insame, connectivity, big)
+    if block is not None and block < max(h, w):
+        conns = speckle_connectivity(d, valid, diff_insame)
+        sweep = _speckle_sweep_fn(
+            d, valid, diff_insame, connectivity, big, conns=conns, block=block
+        )
+    else:
+        block = None
+        sweep = _speckle_sweep_fn(d, valid, diff_insame, connectivity, big)
 
     def _jump(l):
         # label[p] always names a pixel of p's own component (induction
@@ -243,6 +258,10 @@ def remove_speckles(
     labels, _, _ = jax.lax.while_loop(
         cond, step, (labels0, jnp.bool_(True), jnp.int32(0))
     )
+
+    if block is not None:
+        a, b = _block_border_edges(labels, conns, connectivity, block, big)
+        labels = _merge_block_labels(labels, a, b, big)
 
     flat_labels = jnp.where(valid, labels, big).reshape(-1)
     counts = jnp.zeros(h * w + 1, jnp.int32).at[flat_labels].add(
@@ -302,7 +321,8 @@ def speckle_connectivity(d, valid, diff_insame):
     return tuple(out)
 
 
-def _speckle_sweep_fn(d, valid, diff_insame, connectivity, big):
+def _speckle_sweep_fn(d, valid, diff_insame, connectivity, big,
+                      conns=None, block=None):
     """Build the one-sweep label-propagation function for the min-label
     flood (full connected-run reach along all 4 directions per sweep).
 
@@ -326,9 +346,27 @@ def _speckle_sweep_fn(d, valid, diff_insame, connectivity, big):
 
     Reused by the row-sharded variant (`parallel.post_shard`), where each
     tile builds its machinery from halo-extended connectivity.
+
+    ``block``: cut every edge that crosses a ``block``-multiple row or
+    column (the two-level block-CCL local phase; the cut edges are closed
+    afterwards by :func:`_merge_block_labels`).
     """
     h, w = d.shape
-    conn_l, conn_u, conn_d1, conn_d2 = speckle_connectivity(d, valid, diff_insame)
+    if conns is None:
+        conns = speckle_connectivity(d, valid, diff_insame)
+    conn_l, conn_u, conn_d1, conn_d2 = conns
+    if block is not None:
+        # edge (i,j)->(i+dy,j+dx) crosses iff the border line separates the
+        # endpoints: conn_* are "connect to my (dy,dx) = left/up/up-right/
+        # up-left neighbor" masks, so the cut tests the CURRENT pixel's
+        # row/col (and j+1 for the up-right diagonal's column crossing)
+        bi = (jnp.arange(h, dtype=jnp.int32)[:, None] % block) == 0
+        bj = (jnp.arange(w, dtype=jnp.int32)[None, :] % block) == 0
+        bj1 = (jnp.arange(1, w + 1, dtype=jnp.int32)[None, :] % block) == 0
+        conn_l = conn_l & ~bj
+        conn_u = conn_u & ~bi
+        conn_d1 = conn_d1 & ~(bi | bj1)
+        conn_d2 = conn_d2 & ~(bi | bj)
 
     masks_h = _doubling_masks(conn_l, 1)
     masks_v = _doubling_masks(conn_u, 0)
@@ -349,6 +387,93 @@ def _speckle_sweep_fn(d, valid, diff_insame, connectivity, big):
         return new
 
     return sweep
+
+
+def _block_border_edges(labels, conns, connectivity, block, big):
+    """(a, b) endpoint-label arrays for every connectivity edge the
+    ``block`` cut removed — static slices at the block-multiple rows and
+    columns, so shapes are fixed at ~4HW/block regardless of content.
+    Masked-out (not actually connected) slots carry ``(big, big)``, a
+    no-op under min-hooking."""
+    conn_l, conn_u, conn_d1, conn_d2 = conns
+    bm1 = block - 1
+
+    def pairs(pa, qb, m):
+        # strided slices starting earlier/later can differ by one in count;
+        # the overhang rows/cols have no in-image partner (their conn is
+        # False from the pad) — truncate all three to the common shape
+        n0 = min(pa.shape[0], qb.shape[0])
+        n1 = min(pa.shape[1], qb.shape[1])
+        pa, qb, m = pa[:n0, :n1], qb[:n0, :n1], m[:n0, :n1]
+        return (
+            jnp.where(m, pa, big).reshape(-1),
+            jnp.where(m, qb, big).reshape(-1),
+        )
+
+    out = [
+        # left neighbor (0,-1): crosses a column line (j % block == 0)
+        pairs(labels[:, block::block], labels[:, bm1::block],
+              conn_l[:, block::block]),
+        # up neighbor (-1,0): crosses a row line
+        pairs(labels[block::block, :], labels[bm1::block, :],
+              conn_u[block::block, :]),
+    ]
+    if connectivity == 8:
+        out += [
+            # up-right (-1,+1): row crossing ...
+            pairs(labels[block::block, :-1], labels[bm1::block, 1:],
+                  conn_d1[block::block, :-1]),
+            # ... and column crossing ((j+1) % block == 0)
+            pairs(labels[1:, bm1::block], labels[:-1, block::block],
+                  conn_d1[1:, bm1::block]),
+            # up-left (-1,-1): row crossing ...
+            pairs(labels[block::block, 1:], labels[bm1::block, :-1],
+                  conn_d2[block::block, 1:]),
+            # ... and column crossing (j % block == 0)
+            pairs(labels[1:, block::block], labels[:-1, bm1::block],
+                  conn_d2[1:, block::block]),
+        ]
+    a = jnp.concatenate([x for x, _ in out])
+    b = jnp.concatenate([x for _, x in out])
+    return a, b
+
+
+def _merge_block_labels(labels, a, b, big):
+    """Close the block-cut edges EXACTLY: hook-and-jump min propagation
+    (Shiloach-Vishkin shape) on a parent array over pixel ids.
+
+    ``P`` starts as identity and only decreases; every written value is the
+    min of two labels of the same merged class, so values stay inside the
+    class.  At the while fixpoint two facts force full resolution: a jump
+    no-change makes ``P`` idempotent (``P <= id`` gives ``P[P[l]] <=
+    P[l]``; no-change gives ``>=``), and a hook no-change then forces
+    ``P[a] == P[b]`` across every edge (each root r satisfies ``P[r] = r``,
+    and ``P[ra] <= min(ra, rb)`` both ways).  Hence ``P[l]`` is the minimum
+    pixel id of l's GLOBAL component — bitwise the single-level flood's
+    answer.  Rounds are O(log) in the block-graph diameter (each round
+    hooks once and pointer-jumps twice); the cap is a safety net only.
+    """
+    if a.shape[0] == 0:
+        return labels
+    h, w = labels.shape
+    hw = h * w
+    p0 = jnp.arange(hw + 1, dtype=jnp.int32)
+    cap = jnp.int32(16 + 2 * max(1, hw.bit_length()))
+
+    def round_(state):
+        p, _, it = state
+        ra, rb = p[a], p[b]
+        m = jnp.minimum(ra, rb)
+        pn = p.at[ra].min(m).at[rb].min(m)
+        pn = jnp.minimum(pn, pn[pn])
+        pn = jnp.minimum(pn, pn[pn])
+        return pn, jnp.any(pn != p), it + 1
+
+    p, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < cap), round_,
+        (p0, jnp.bool_(True), jnp.int32(0)),
+    )
+    return p[labels]
 
 
 # ---------------------------------------------------------------------------

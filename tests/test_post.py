@@ -65,6 +65,39 @@ def test_remove_speckles_background_skip():
     assert (got[0] == 0).all()       # zero background untouched
 
 
+def test_remove_speckles_block_ccl_bitwise():
+    """Two-level block CCL (local flood with cut borders + hook-and-jump
+    closure of the cut edges) is the SAME function as the single-level
+    flood — including non-dividing block sizes, 4-connectivity, the
+    background seed rule, and a serpentine whose component crosses every
+    block line many times."""
+    rng = np.random.default_rng(11)
+    h, w = 53, 71
+    d = rng.integers(0, 6, (h, w)).astype(np.float32) * 2
+    d[rng.random((h, w)) < 0.3] = np.inf
+    for conn in (4, 8):
+        for bg in (None, 0.0):
+            want = np.asarray(post.remove_speckles(
+                d, 1.0, 24, invalid_value=np.inf,
+                connectivity=conn, background=bg))
+            for blk in (7, 16):
+                got = np.asarray(post.remove_speckles(
+                    d, 1.0, 24, invalid_value=np.inf,
+                    connectivity=conn, background=bg, block=blk))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"conn={conn} bg={bg} block={blk}")
+
+    snake = np.full((40, 81), np.inf, np.float32)
+    snake[::2, :] = 3.0
+    for i in range(1, 40, 2):
+        snake[i, 0 if (i // 2) % 2 else -1] = 3.0
+    want = np.asarray(post.remove_speckles(snake, 1.0, 5000, invalid_value=np.inf))
+    got = np.asarray(post.remove_speckles(
+        snake, 1.0, 5000, invalid_value=np.inf, block=8))
+    np.testing.assert_array_equal(got, want)
+    assert np.isinf(got).all()  # one big snake component, area < 5000
+
+
 def test_median_truncate_matches_oracle():
     rng = np.random.default_rng(6)
     x = rng.uniform(0, 50, size=(9, 11)).astype(np.float32)
