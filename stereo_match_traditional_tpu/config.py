@@ -34,8 +34,6 @@ class SADConfig:
     lr_gate: float = 5.0             # Sad.h:192
     speckle_diff: float = 1.0        # SADmain.cpp:69
     speckle_area: int = 80           # SADmain.cpp:69
-    speckle_block: Optional[int] = None  # two-level block CCL; EXACT
-                                     # (bitwise) — a scheduling choice only
     subpixel: bool = False           # Sad.h:81-84 computes then discards
     compute_right: bool = False      # SADmain.cpp:67 (commented out)
     run_post: bool = False           # SADmain.cpp:68-79 (commented out)
@@ -93,7 +91,6 @@ class ASWConfig:
     lr_gate: float = 5.0             # ASW.h:115
     speckle_area: int = 40           # ASWeight.cpp:73 filterSpeckles(0,40,2)
     speckle_diff: float = 2.0        # ASWeight.cpp:73
-    speckle_block: Optional[int] = None  # exact block CCL (see SADConfig)
     median_first: int = 5            # ASWeight.cpp:74
     median_second: int = 3           # ASWeight.cpp:78
     run_post: bool = True            # ASWeight.cpp:66-78 (active)
@@ -222,7 +219,6 @@ class ADCensusConfig:
     lr_gate: float = 2.0             # main.cpp:30
     speckle_diff: float = 1.0        # main.cpp:93
     speckle_area: int = 30           # main.cpp:93
-    speckle_block: Optional[int] = None  # exact block CCL (see SADConfig)
     median_size: int = 3             # main.cpp:94
     run_post: bool = False           # main.cpp:91-94 dormant
     cross_params: CrossAggregatorParams = CrossAggregatorParams()
@@ -264,7 +260,6 @@ class CBLSMConfig:
     lr_gate: float = 5.0             # CBLSM.cpp:155
     speckle_diff: float = 1.0        # CBLSM.cpp:161
     speckle_area: int = 50           # CBLSM.cpp:161
-    speckle_block: Optional[int] = None  # exact block CCL (see SADConfig)
     median_size: int = 3             # CBLSM.cpp:162
     run_post: bool = False           # CBLSM.cpp:160-162 dormant
 

@@ -18,8 +18,7 @@ def ad_census_post(disp_l, disp_r, cfg: ADCensusConfig):
         disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
     )
     dmap = post.remove_speckles(
-        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID,
-        block=cfg.speckle_block,
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
     )
     dmap = post.fill_holes_8dir(
         dmap, lr.occlusion, lr.mismatch, post.INVALID, max_search=cfg.disp_range

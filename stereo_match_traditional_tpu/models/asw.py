@@ -30,7 +30,7 @@ def asw_post(disp_l, disp_r, cfg: ASWConfig):
     d = _minmax_u8(lr.disp)
     d = post.remove_speckles(
         d, cfg.speckle_diff, cfg.speckle_area + 1, invalid_value=0.0,
-        connectivity=4, block=cfg.speckle_block,
+        connectivity=4,
     )
     # OpenCV filterSpeckles removes blobs of size <= maxSpeckleSize (40)
     # using 4-connectivity; remove_speckles kills size < min_area, hence

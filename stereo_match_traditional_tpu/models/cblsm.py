@@ -17,8 +17,7 @@ def cblsm_post(disp_l, disp_r, cfg: CBLSMConfig):
         disp_l, disp_r, cfg.lr_gate, post.INVALID, disp_range=cfg.disp_range
     )
     dmap = post.remove_speckles(
-        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID,
-        block=cfg.speckle_block,
+        lr.disp, cfg.speckle_diff, cfg.speckle_area, invalid_value=post.INVALID
     )
     dmap = post.median_filter(dmap, cfg.median_size, border="truncate")
     return dmap, lr.occlusion, lr.mismatch

@@ -23,7 +23,6 @@ def sad_post(disp_l, disp_r, cfg: SADConfig):
         cfg.speckle_area,
         invalid_value=post.INVALID,
         background=0.0,  # Sad.h:265 skips zero-disparity seeds
-        block=cfg.speckle_block,
     )
     d = post.fill_holes_8dir(
         d, lr.occlusion, lr.mismatch, post.INVALID,

@@ -210,6 +210,14 @@ def remove_speckles(
     the cut edges — a static ~4HW/block subset — are closed by
     hook-and-jump min propagation on the label array.  ``None`` keeps the
     single-level flood.
+
+    MEASURED NEGATIVE on v5e (round 4, do not re-propose as a TPU
+    optimization): Teddy flagship map 3.39 ms (None) vs 29.3/22.0/19.9/
+    15.5/14.7/14.1 ms at block=16/32/48/64/96/128; FULL flagship 17.0 ->
+    27-34 ms.  The merge phase's scatter-min hooking costs ~11 ms flat
+    (TPU scatters serialize) — far more than the sweep rounds it saves.
+    The parameter stays as an exact CPU-friendly alternative and as the
+    recorded experiment (VERDICT r3 item 3); no pipeline sets it.
     """
     if connectivity not in (4, 8):
         raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
