@@ -293,6 +293,18 @@ def _rect_gather(sat: jax.Array, i0, i1, j0, j1) -> jax.Array:
 # above this the row-chunked source path engages (requires a static arm cap).
 _GATHER_FAST_SRC_BYTES = 100 * 1024 * 1024
 
+# Round-4 measured refinement (rect corner picks): even sources well under
+# the 100 MB cliff pick faster from ~24 MB haloed chunks — Teddy no-DCE
+# e2e: cblsm 13.70 -> 12.52 ms, flagship 9.66 -> 8.68 ms, bit-identical.
+# But chunks must not shrink into halo-dominated re-reads: at 720p/D=128 a
+# flat 24 MB limit collapsed the band below the halo (8-col chunks, ~10x
+# source amplification) and regressed 87.9 -> 169.7 ms.  Rule: engage
+# chunking above _GATHER_CHUNK_MIN_BYTES, target _GATHER_CHUNK_TARGET_BYTES
+# per chunk but keep the band >= 2x the halo, never exceeding the 100 MB
+# chunks serving sizes were swept at (720p unchanged at 87.9 ms).
+_GATHER_CHUNK_MIN_BYTES = 32 * 1024 * 1024
+_GATHER_CHUNK_TARGET_BYTES = 24 * 1024 * 1024
+
 
 def _rect_sums_shared_bounds(
     vol: jax.Array, i0, i1, j0, j1, max_span: Optional[int] = None
@@ -308,12 +320,14 @@ def _rect_sums_shared_bounds(
     axis, which measured slower).
 
     ``max_span``: static bound on the arm lengths.  When given and the flat
-    SAT exceeds ``_GATHER_FAST_SRC_BYTES`` (serving sizes: 720p/D=128 is
-    472 MB), the four corner gathers run per row-chunk against a
-    ``max_span``-haloed slice of the *global* SAT that fits on-chip —
-    bit-identical picks, measured 61 -> 30 ms at 720p/D=128 (gathers from
-    an HBM-resident source are pick-latency-bound: 11.7 vs 2.4 ms for the
-    same 921600 picks when the source fits).
+    SAT exceeds ``_GATHER_CHUNK_MIN_BYTES``, the four corner gathers run
+    per row-chunk against a ``max_span``-haloed slice of the *global* SAT
+    — bit-identical picks, measured 61 -> 30 ms at 720p/D=128 (gathers
+    from an HBM-resident source are pick-latency-bound: 11.7 vs 2.4 ms for
+    the same 921600 picks when the source fits).  Chunk sizing: ~24 MB
+    targets with a 2x-halo band floor and a 100 MB cap (round-4 table at
+    the constants) — Teddy-size volumes chunk too (flagship -10%), serving
+    sizes keep their swept 100 MB chunks.
     """
     d = vol.shape[0]
     sat = _sat(vol)                                        # [D, Hp, Wp]
@@ -321,11 +335,18 @@ def _rect_sums_shared_bounds(
     out_shape = i0.shape
     h = out_shape[0]
 
-    if max_span is not None and 4 * d * hp * wp > _GATHER_FAST_SRC_BYTES:
+    if max_span is not None and 4 * d * hp * wp > _GATHER_CHUNK_MIN_BYTES:
         halo = 2 * max_span + 1
         w_out = out_shape[1]
-        row_budget = _GATHER_FAST_SRC_BYTES // (4 * d * wp) - halo
-        col_budget = _GATHER_FAST_SRC_BYTES // (4 * d * hp) - halo
+        # target ~24 MB chunks, floored so the band stays >= 2x the halo
+        # (bounds halo re-reads) and capped at the swept 100 MB serving
+        # chunk size — see the constants' measured table
+        row_target = min(_GATHER_FAST_SRC_BYTES,
+                         max(_GATHER_CHUNK_TARGET_BYTES, 4 * d * wp * 3 * halo))
+        col_target = min(_GATHER_FAST_SRC_BYTES,
+                         max(_GATHER_CHUNK_TARGET_BYTES, 4 * d * hp * 3 * halo))
+        row_budget = row_target // (4 * d * wp) - halo
+        col_budget = col_target // (4 * d * hp) - halo
         if row_budget >= 8 or row_budget >= col_budget:
             # chunk output rows; source = haloed row window of the SAT
             band = max(8, row_budget)
