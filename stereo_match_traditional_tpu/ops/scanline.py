@@ -243,6 +243,26 @@ def _make_canonical_step(p1_base: float, p2_base: float):
     return step
 
 
+def rev_materialized(*xs):
+    """Each array reversed along axis 0, MATERIALIZED via
+    ``optimization_barrier`` before any consumer.
+
+    WORKAROUND (round 4, keep until the toolchain moves): XLA:TPU's
+    jellyfish ``PipelineEmitter`` CHECK-crashes the compile helper
+    (``fusion_emitter.cc:4290: (base_bounds + pad_high) % strides == 0``,
+    ``ReverseInput::TransformWindow``) when a ``reverse`` op is fused into
+    the strided input pipelining of the unrolled scan
+    (:func:`_scan_unrolled`'s ``x[1:1+main].reshape(main//k, k, ...)``) at
+    shapes where the remainder lands on 3 mod 4 — first hit by the
+    canonical streamed pipeline at [540, 1920]/D=256.  The barrier keeps
+    the reverse out of the fused window; cost is one materialization of
+    the reversed operands (bit-identical results).
+    """
+    import jax
+
+    return jax.lax.optimization_barrier(tuple(x[::-1] for x in xs))
+
+
 def canonical_pass_banded(
     cost: jax.Array,
     scale: jax.Array,
@@ -340,15 +360,15 @@ def scanline_optimize_canonical(
     g1_wh = base.T                                  # [W, H]
     g2_wdh = jnp.transpose(g2, (2, 0, 1))           # [W, D, H]
     lr = _canonical_pass(c_wdh, g1_wh, g2_wdh, p1, p2, tso)
-    rl = _canonical_pass(c_wdh[::-1], g1_wh[::-1], g2_wdh[::-1], p1, p2, tso)
+    rl = _canonical_pass(*rev_materialized(c_wdh, g1_wh, g2_wdh), p1, p2, tso)
     horiz = lr + rl[::-1]
 
     c_hdw = jnp.transpose(cost, (1, 0, 2))          # [H, D, W]
     g1_hw = base                                    # [H, W]
     g2_hdw = jnp.transpose(g2, (1, 0, 2))           # [H, D, W]
     ud = _canonical_pass(c_hdw, g1_hw, g2_hdw, p1, p2, tso)
-    du = _canonical_pass(c_hdw[::-1], g1_hw[::-1], g2_hdw[::-1], p1, p2, tso)
-    vert = ud + du[::-1]
+    du = _canonical_pass(*rev_materialized(c_hdw, g1_hw, g2_hdw), p1, p2, tso)
+    vert = ud + rev_materialized(du)[0]
 
     total = jnp.transpose(horiz, (1, 2, 0)) + jnp.transpose(vert, (1, 0, 2))
     return total * 0.25

@@ -64,6 +64,7 @@ from stereo_match_traditional_tpu.ops.scanline import (
     canonical_pass_banded,
     canonical_scale,
     directional_pass_banded,
+    rev_materialized,
 )
 from stereo_match_traditional_tpu.parallel.halo import crop_row_halo
 from stereo_match_traditional_tpu.parallel.tiled import (
@@ -326,7 +327,9 @@ def _ad_census_canonical_streamed(cfg, row_tile: int):
                 tso,
             )
             cost = jnp.transpose(agg, (1, 0, 2))        # [t, D, W]
-            return (cost[::-1], sc[::-1]) if up else (cost, sc)
+            # bottom-up inputs reversed via the materializing helper —
+            # see scanline.rev_materialized (XLA reverse-fusion CHECK)
+            return rev_materialized(cost, sc) if up else (cost, sc)
 
         def horiz_band(agg, g, g2):
             """Sum of the two (row-local) horizontal passes, [t, D, W]."""
@@ -335,7 +338,7 @@ def _ad_census_canonical_streamed(cfg, row_tile: int):
             g2_wdt = jnp.transpose(g2[:, 1:t + 1], (2, 0, 1))
             lr_ = _canonical_pass(c_wdt, g1_wt, g2_wdt, p1, p2, tso)
             rl_ = _canonical_pass(
-                c_wdt[::-1], g1_wt[::-1], g2_wdt[::-1], p1, p2, tso
+                *rev_materialized(c_wdt, g1_wt, g2_wdt), p1, p2, tso
             )
             return jnp.transpose(lr_ + rl_[::-1], (2, 1, 0))
 
@@ -377,7 +380,11 @@ def _ad_census_canonical_streamed(cfg, row_tile: int):
                 up, _ = canonical_pass_banded(
                     *vert_inputs(*view, up=True), up_c, rs, p1, p2
                 )
-                total = (horiz_band(*view) + (down + up[::-1])) * 0.25
+                # the up-pass output flip is barriered: fused into the
+                # down+horiz+wta consumer it re-triggers the jellyfish
+                # ReverseInput CHECK (see scanline.rev_materialized)
+                total = (horiz_band(*view)
+                         + (down + rev_materialized(up)[0])) * 0.25
                 disps.append(wta.wta(jnp.transpose(total, (1, 0, 2)), "min"))
                 new_carry.append(dn_out)
             return tuple(new_carry), tuple(disps)
