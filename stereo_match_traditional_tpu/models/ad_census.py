@@ -80,8 +80,10 @@ def ad_census_pipeline(
             img_r = right_color if right_color is not None else right
             arms_l = aggregate.canonical_cross_arms(img_l, cfg.cross_params)
             arms_r = aggregate.canonical_cross_arms(img_r, cfg.cross_params)
-            agg_l = aggregate.cross_aggregate(vol_l, arms_l, cfg.cross_params.num_iters)
-            agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters)
+            agg_l = aggregate.cross_aggregate(vol_l, arms_l, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
+            agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
     elif cfg.aggregation == "none":
         agg_l, agg_r = vol_l, vol_r
     else:

@@ -107,8 +107,10 @@ def cblsm_pipeline(
         with stage_scope("aggregate"):
             c_arms_l = aggregate.canonical_cross_arms(left, cfg.cross_params)
             c_arms_r = aggregate.canonical_cross_arms(right, cfg.cross_params)
-            agg_l = aggregate.cross_aggregate(vol_l, c_arms_l, cfg.cross_params.num_iters)
-            agg_r = aggregate.cross_aggregate(vol_r, c_arms_r, cfg.cross_params.num_iters)
+            agg_l = aggregate.cross_aggregate(vol_l, c_arms_l, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
+            agg_r = aggregate.cross_aggregate(vol_r, c_arms_r, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
     elif cfg.aggregation == "none":
         agg_l, agg_r = vol_l, vol_r
     else:

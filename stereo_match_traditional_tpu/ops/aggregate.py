@@ -532,6 +532,90 @@ def _hsum(
     return jnp.moveaxis(out.reshape(h, w, d), -1, 0)
 
 
+def _cumsum_axis0(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum along axis 0 as triangular MXU contractions —
+    the leading-axis twin of :func:`_mxu_cumsum` (pixel-major volumes put
+    rows first, so neither -1 nor -2 is the scan axis).  Same two-level
+    blocking above ``_CUMSUM_DENSE_MAX``; precision HIGHEST."""
+    n = x.shape[0]
+    if n <= _CUMSUM_DENSE_MAX:
+        tri = jnp.triu(jnp.ones((n, n), x.dtype))
+        return jnp.einsum("qi,q...->i...", tri, x, precision=jax.lax.Precision.HIGHEST)
+    b = _CUMSUM_BLOCK
+    nb = -(-n // b)
+    xp = jnp.pad(x, [(0, nb * b - n)] + [(0, 0)] * (x.ndim - 1))
+    xb = xp.reshape((nb, b) + x.shape[1:])
+    tri = jnp.triu(jnp.ones((b, b), x.dtype))
+    intra = jnp.einsum("qi,nq...->ni...", tri, xb, precision=jax.lax.Precision.HIGHEST)
+    off = _cumsum_axis0(intra[:, -1])
+    off = jnp.pad(off, [(1, 0)] + [(0, 0)] * (off.ndim - 1))[:-1]
+    out = intra + off[:, None]
+    return out.reshape((nb * b,) + x.shape[1:])[:n]
+
+
+# Pixel-major ([H, W, D]) volume span sums: at serving disparity ranges
+# (D >= 128, an exact lane multiple at 256) the [D, H, W] gather path's
+# per-chunk [D, rows, W] -> [(rows*W), D] transposes dominate — at a 4K
+# canonical band they move ~4 GB per pass and made the streamed canonical
+# pipeline ~100x slower than modeled (375 s at [540,1920]/D=256, watchdog
+# -killed at 4K).  Pixel-major keeps D minor end to end: the flat gather
+# source is a FREE reshape, row chunks are FREE slices, and every pick
+# still fetches one contiguous D-row.
+_CROSS_PM_MIN_D = 128
+
+
+def _hsum_pm(x: jax.Array, left: jax.Array, right: jax.Array) -> jax.Array:
+    """:func:`_hsum` on a pixel-major volume: x [H, W, D], arms [H, W] ->
+    [H, W, D].  Prefix sums along W (``_mxu_cumsum(-2)``), picks from the
+    free ``[(H*(W+1)), D]`` reshape, row-chunked at ``_GATHER_FAST_SRC_BYTES``
+    with FREE slices (no transposes anywhere — the point of this path)."""
+    h, w, d = x.shape
+    cs = jnp.pad(_mxu_cumsum(x, -2), ((0, 0), (1, 0), (0, 0)))  # [H, W+1, D]
+    jj = jnp.arange(w)[None, :]
+    hi = jnp.clip(jj + right + 1, 0, w)
+    lo = jnp.clip(jj - left, 0, w)
+    band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * (w + 1)))
+    outs = []
+    for r0 in range(0, h, band):
+        r1 = min(r0 + band, h)
+        flat = cs[r0:r1].reshape((r1 - r0) * (w + 1), d)
+        ii = jnp.arange(r1 - r0)[:, None]
+        out = (
+            flat[(ii * (w + 1) + hi[r0:r1]).reshape(-1)]
+            - flat[(ii * (w + 1) + lo[r0:r1]).reshape(-1)]
+        )
+        outs.append(out.reshape(r1 - r0, w, d))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _vsum_pm(
+    x: jax.Array, up: jax.Array, down: jax.Array, max_arm: int
+) -> jax.Array:
+    """:func:`_vsum` on a pixel-major volume: span sums along rows.  The
+    row-bound picks are row-local (arms are capped at ``max_arm``), so row
+    chunks slice a ``max_arm``-haloed window of the prefix tensor — again
+    a FREE leading-axis slice."""
+    h, w, d = x.shape
+    cs = jnp.pad(_cumsum_axis0(x), ((1, 0), (0, 0), (0, 0)))    # [H+1, W, D]
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(w)[None, :]
+    hi = jnp.clip(ii + down + 1, 0, h)
+    lo = jnp.clip(ii - up, 0, h)
+    band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * w) - (2 * max_arm + 1))
+    outs = []
+    for r0 in range(0, h, band):
+        r1 = min(r0 + band, h)
+        s0 = max(0, r0 - max_arm)
+        s1 = min(h + 1, r1 + max_arm + 1)
+        flat = cs[s0:s1].reshape((s1 - s0) * w, d)
+        out = (
+            flat[((hi[r0:r1] - s0) * w + jj).reshape(-1)]
+            - flat[((lo[r0:r1] - s0) * w + jj).reshape(-1)]
+        )
+        outs.append(out.reshape(r1 - r0, w, d))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def _vsum(
     x: jax.Array, up: jax.Array, down: jax.Array, max_arm: Optional[int] = None
 ) -> jax.Array:
@@ -600,6 +684,7 @@ def cross_aggregate(
     horizontal_first: bool = True,
     max_arm: Optional[int] = None,
     method: str = "auto",
+    span_cap: Optional[int] = None,
 ) -> jax.Array:
     """Iterative two-pass cross aggregation (`cross_aggregator.cpp:89-118,
     327-394`): each iteration sums along one axis inside each pixel's arm
@@ -631,6 +716,18 @@ def cross_aggregate(
     in :func:`_banded_pick` — 31.9 -> 41.2 ms e2e) and it also disables
     the 'auto' matmul path; it exists for exactness cross-checks, not
     speed — leave it None in production calls (every pipeline does).
+
+    ``span_cap``: static bound on the arm lengths used ONLY to size the
+    pixel-major path's row-chunk halos (exact — picks clip identically);
+    unlike ``max_arm`` it changes no pick strategy.  The pixel-major path
+    engages for ``D >= _CROSS_PM_MIN_D`` volumes (serving ranges, D a lane
+    multiple), where it replaces the [D, H, W] gather path's ~3 full-
+    volume layout moves per pass with zero (one transpose in/out total) —
+    the 100x band-scale cliff documented at ``_CROSS_PM_MIN_D``.  Last-ulp
+    note: the prefix sums run as the same HIGHEST-precision triangular
+    contractions but on transposed layouts, so results can differ from
+    the [D, H, W] path in the final ulp of the SAT cancellation — inside
+    the pipeline tie envelope, exercised by the equality tests.
     """
     # Explicit f32: ``vol.dtype`` is float64 when a NumPy array flows in,
     # and jnp.ones(float64) emits a truncation UserWarning on x64-less runs.
@@ -653,6 +750,34 @@ def cross_aggregate(
         raise ValueError(f"method must be 'auto', 'matmul' or 'gather': {method}")
 
     hf = horizontal_first
+    if (
+        not use_mm
+        and method in ("auto", "gather")
+        and vol.ndim == 3
+        and max_arm is None
+        and vol.shape[0] >= _CROSS_PM_MIN_D
+    ):
+        # serving disparity ranges: pixel-major passes, one transpose in
+        # and one out (vs ~3 full-volume layout moves PER PASS in the
+        # [D, H, W] gather path — the 100x cliff the _CROSS_PM_MIN_D
+        # comment documents).  Arm cap for the vsum halo: canonical arms
+        # never exceed the image, and the growth rules cap at L1; the
+        # exact per-pixel bound is the arms themselves.
+        out = jnp.moveaxis(vol, 0, -1)                  # [H, W, D]
+        sup_h = sup_h_first[..., None]
+        sup_v = sup_v_first[..., None]
+        vcap = span_cap if span_cap is not None else int(vol.shape[1])
+        for _ in range(num_iters):
+            if hf:
+                out = _vsum_pm(
+                    _hsum_pm(out, arms.left, arms.right), arms.up, arms.down, vcap
+                ) / sup_h
+            else:
+                out = _hsum_pm(
+                    _vsum_pm(out, arms.up, arms.down, vcap), arms.left, arms.right
+                ) / sup_v
+            hf = not hf
+        return jnp.moveaxis(out, -1, 0)
     if use_mm:
         band_h, band_v = _arm_bands(arms)
         out = jnp.moveaxis(vol, 0, -1)  # [H, W, D]

@@ -186,8 +186,10 @@ def _ad_census_band_volumes(le, re, cfg, ro_ext, rows):
     elif cfg.aggregation == "cross_two_pass":
         arms_l = aggregate.canonical_cross_arms(le, cfg.cross_params, ro_ext, rows)
         arms_r = aggregate.canonical_cross_arms(re, cfg.cross_params, ro_ext, rows)
-        agg_l = aggregate.cross_aggregate(vol_l, arms_l, cfg.cross_params.num_iters)
-        agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters)
+        agg_l = aggregate.cross_aggregate(vol_l, arms_l, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
+        agg_r = aggregate.cross_aggregate(vol_r, arms_r, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
     else:
         agg_l, agg_r = vol_l, vol_r
     return agg_l, agg_r
@@ -286,8 +288,10 @@ def _cblsm_tile(le, re, cfg, ro_ext, rows, halo, axis_name, aux=()):
     elif cfg.aggregation == "cross_two_pass":
         c_arms_l = aggregate.canonical_cross_arms(le, cfg.cross_params, ro_ext, rows)
         c_arms_r = aggregate.canonical_cross_arms(re, cfg.cross_params, ro_ext, rows)
-        agg_l = aggregate.cross_aggregate(vol_l, c_arms_l, cfg.cross_params.num_iters)
-        agg_r = aggregate.cross_aggregate(vol_r, c_arms_r, cfg.cross_params.num_iters)
+        agg_l = aggregate.cross_aggregate(vol_l, c_arms_l, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
+        agg_r = aggregate.cross_aggregate(vol_r, c_arms_r, cfg.cross_params.num_iters,
+                                          span_cap=cfg.cross_params.cross_l1)
     elif cfg.aggregation == "none":
         agg_l, agg_r = vol_l, vol_r
     else:
