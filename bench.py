@@ -3,11 +3,13 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MPixDisp/s", "vs_baseline": N}
 
-Default workload = the reference's committed AD-Census driver
-(`AD-CensusV1/main.cpp:58-84`): Teddy-shaped 450x375 pair, dispRange 60,
-fused AD+Census9x7 cost L+R, cross-arm rectangle-mean aggregation, dual WTA.
-``--pipeline sad|ncc|asw|cblsm`` selects the other reference drivers'
-active-path workloads (ncc defaults to its committed D=200).
+By default (``--pipeline all``) every reference driver's active-path
+workload is measured — sad, ncc (its committed D=200), asw, cblsm, then
+the flagship ad_census LAST (`AD-CensusV1/main.cpp:58-84`: Teddy-shaped
+450x375 pair, dispRange 60, fused AD+Census9x7 cost L+R, cross-arm
+rectangle-mean aggregation, dual WTA) — one JSON line each, so the
+round-over-round artifact tracks the whole zoo, and a last-line parser
+still lands on the flagship metric.  ``--pipeline NAME`` selects one.
 
 ``vs_baseline`` is the ratio to an independent C++ re-implementation of
 the same pipeline with the reference's per-pixel loop structure
@@ -114,9 +116,15 @@ def _cpu_baseline(pipeline: str, rows: int, cols: int, disp: int,
     return mpix, "recorded"
 
 
+# Default measurement order: the four companions first, the flagship last
+# (a consumer that parses only the final JSON line keeps getting the
+# round-over-round ad_census metric).
+_ALL_PIPELINES = ("sad", "ncc", "asw", "cblsm", "ad_census")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pipeline", default="ad_census")
+    ap.add_argument("--pipeline", default="all")
     ap.add_argument(
         "--iters", type=int, default=12,
         help="on-device loop count for the high-N timing program "
@@ -169,15 +177,6 @@ def main() -> None:
 
     from stereo_match_traditional_tpu.config import disp_override_kw
 
-    if args.disp is None:
-        args.disp = _BASELINE_SHAPE.get(args.pipeline, _DEFAULT_SHAPE)[2]
-    pipeline, cfg_cls = get_pipeline(args.pipeline)
-    cfg = cfg_cls(**disp_override_kw(cfg_cls, args.disp))
-
-    left, right, _ = make_pair(args.rows, args.cols, args.disp, seed=0)
-    left = jnp.asarray(left)
-    right = jnp.asarray(right)
-
     # device_time loops the pipeline on-device inside one jit and
     # differences two iteration counts — naive block_until_ready timing
     # only measures the ~30 ms dispatch relay round trip here.
@@ -195,43 +194,56 @@ def main() -> None:
                 total = total + jnp.sum(f.astype(jnp.float32))
         return total
 
-    sec = device_time(
-        lambda l, r: checksum(pipeline(l, r, cfg)), (left, right),
-        n_hi=max(args.iters, 3),
-    )
-    mpixdisp = args.rows * args.cols * args.disp / sec / 1e6
-    baseline, source = _cpu_baseline(
-        args.pipeline, args.rows, args.cols, args.disp,
-        measure=args.measure_baseline, check_drift=args.check_drift,
-    )
-    result = {
-        "metric": f"{args.pipeline}_throughput",
-        "value": round(mpixdisp, 2),
-        "unit": "MPixDisp/s",
-        "vs_baseline": round(mpixdisp / baseline, 2) if baseline else None,
-    }
-    if baseline:
-        result["baseline_mpixdisp"] = baseline
-        result["baseline_source"] = source
-        result["baseline_threads"] = _RECORDED_CPU_BASELINES[args.pipeline][1]
+    def measure_one(name: str, disp):
+        if disp is None:
+            disp = _BASELINE_SHAPE.get(name, _DEFAULT_SHAPE)[2]
+        pipeline, cfg_cls = get_pipeline(name)
+        cfg = cfg_cls(**disp_override_kw(cfg_cls, disp))
 
-    if args.multichip and len(jax.devices()) > 1:
-        from stereo_match_traditional_tpu.parallel import make_mesh, tiled_pipeline
+        left, right, _ = make_pair(args.rows, args.cols, disp, seed=0)
+        left = jnp.asarray(left)
+        right = jnp.asarray(right)
 
-        n = len(jax.devices())
-        mesh = make_mesh(n, ("tile",))
-        sharded = jax.jit(tiled_pipeline(args.pipeline, cfg, mesh))
-        sec_n = device_time(
-            lambda l, r: checksum(sharded(l, r)), (left, right),
+        sec = device_time(
+            lambda l, r: checksum(pipeline(l, r, cfg)), (left, right),
             n_hi=max(args.iters, 3),
         )
-        result["devices"] = n
-        result["sharded_value"] = round(
-            args.rows * args.cols * args.disp / sec_n / 1e6, 2
+        mpixdisp = args.rows * args.cols * disp / sec / 1e6
+        baseline, source = _cpu_baseline(
+            name, args.rows, args.cols, disp,
+            measure=args.measure_baseline, check_drift=args.check_drift,
         )
-        result["scaling_efficiency"] = round(sec / (sec_n * n), 3)
+        result = {
+            "metric": f"{name}_throughput",
+            "value": round(mpixdisp, 2),
+            "unit": "MPixDisp/s",
+            "vs_baseline": round(mpixdisp / baseline, 2) if baseline else None,
+        }
+        if baseline:
+            result["baseline_mpixdisp"] = baseline
+            result["baseline_source"] = source
+            result["baseline_threads"] = _RECORDED_CPU_BASELINES[name][1]
 
-    print(json.dumps(result))
+        if args.multichip and len(jax.devices()) > 1:
+            from stereo_match_traditional_tpu.parallel import make_mesh, tiled_pipeline
+
+            n = len(jax.devices())
+            mesh = make_mesh(n, ("tile",))
+            sharded = jax.jit(tiled_pipeline(name, cfg, mesh))
+            sec_n = device_time(
+                lambda l, r: checksum(sharded(l, r)), (left, right),
+                n_hi=max(args.iters, 3),
+            )
+            result["devices"] = n
+            result["sharded_value"] = round(
+                args.rows * args.cols * disp / sec_n / 1e6, 2
+            )
+            result["scaling_efficiency"] = round(sec / (sec_n * n), 3)
+        return result
+
+    names = _ALL_PIPELINES if args.pipeline == "all" else (args.pipeline,)
+    for name in names:
+        print(json.dumps(measure_one(name, args.disp)), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,114 @@
+"""Round-5 canonical-family measurements (VERDICT r4 items 1, 2, 6).
+
+Parts (run one at a time on the real chip, `python experiments/_r5_canon.py PART`):
+
+* ``serving`` — item 6: canonical family at Teddy and 720p/D=128 with the
+  round-4 pixel-major cross path: cross_two_pass active (both views) and
+  canonical FULL (+tso scanline + canonical post), device_time + bad-2.0.
+  Refreshes the stale round-2 37.3 ms Teddy row (regression check).
+* ``sweep4k`` — item 2: legacy-FULL streamed 4K/D=256 penalty-scale
+  accuracy sweep over the fixed scales the round-4 table left empty
+  (0.1 / 0.25 / 0.5); None and 'auto' were recorded round 4.
+* ``canon4k`` — item 1: the 4K/D=256 canonical streamed line with the
+  pixel-major path: compile, run1 wall time, bad-2.0, and device_time
+  (n_lo=1/n_hi=2/reps=1) only if run1 is under the safety bound —
+  NEVER kill a dispatched 4K run (the axon queue trap, see verify skill).
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_match_traditional_tpu.config import ADCensusConfig, ScanlineConfig
+from stereo_match_traditional_tpu.models import get_pipeline
+from stereo_match_traditional_tpu.parallel.streamed import (
+    auto_row_tile, streamed_pipeline,
+)
+from stereo_match_traditional_tpu.utils.benchmark import device_time
+from stereo_match_traditional_tpu.utils.synthetic import bad_pixel_rate, make_pair
+
+ROWS4K, COLS4K, D4K = 2160, 3840, 256
+
+
+def _checksum(fn):
+    def run(l, r):
+        res = fn(l, r)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in res if x is not None)
+    return run
+
+
+def serving():
+    fn, _ = get_pipeline("ad_census")
+    for rows, cols, d, label in (
+        (375, 450, 60, "Teddy"),
+        (720, 1280, 128, "720p"),
+    ):
+        L, R, gt = make_pair(rows, cols, d, seed=0)
+        Lj, Rj = jnp.asarray(L), jnp.asarray(R)
+        for name, cfg in (
+            ("cross_two_pass active", ADCensusConfig(
+                disp_range=d, aggregation="cross_two_pass")),
+            ("canonical FULL", ADCensusConfig(
+                disp_range=d, aggregation="cross_two_pass",
+                scanline=ScanlineConfig(), run_post=True)),
+        ):
+            res = fn(Lj, Rj, cfg)
+            m = res.disp_final if res.disp_final is not None else res.disp_left
+            b2 = bad_pixel_rate(np.asarray(m), gt)
+            sec = device_time(_checksum(lambda l, r: fn(l, r, cfg)), (Lj, Rj),
+                              n_lo=1, n_hi=5, reps=2)
+            print(f"{label} {name}: {sec*1e3:.1f} ms  "
+                  f"{rows*cols*d/sec/1e6:.0f} MPixDisp/s  bad-2.0={b2:.4f}",
+                  flush=True)
+
+
+def sweep4k():
+    L, R, gt = make_pair(ROWS4K, COLS4K, D4K, seed=0)
+    Lj, Rj = jnp.asarray(L), jnp.asarray(R)
+    for scale in (0.1, 0.25, 0.5):
+        cfg = ADCensusConfig(
+            disp_range=D4K, run_post=True,
+            scanline=ScanlineConfig(penalty_scale=scale),
+        )
+        t0 = time.time()
+        res = streamed_pipeline("ad_census", cfg)(Lj, Rj)  # auto row_tile
+        m = np.asarray(res.disp_final)
+        print(f"4k FULL scale={scale}: bad-2.0 = {bad_pixel_rate(m, gt):.4f} "
+              f"(wall {time.time()-t0:.0f}s)", flush=True)
+
+
+def canon4k():
+    cfg = ADCensusConfig(
+        disp_range=D4K, aggregation="cross_two_pass",
+        scanline=ScanlineConfig(), run_post=True,
+    )
+    rt = auto_row_tile("ad_census", cfg, ROWS4K, COLS4K)
+    print(f"row_tile={rt}", flush=True)
+    L, R, gt = make_pair(ROWS4K, COLS4K, D4K, seed=0)
+    Lj, Rj = jnp.asarray(L), jnp.asarray(R)
+    fn = jax.jit(streamed_pipeline("ad_census", cfg, row_tile=rt))
+    t0 = time.time()
+    comp = fn.lower(Lj, Rj).compile()
+    ma = comp.memory_analysis()
+    print(f"compiled {time.time()-t0:.0f}s "
+          f"temp={ma.temp_size_in_bytes/2**30:.2f} GiB", flush=True)
+    t0 = time.time()
+    out = comp(Lj, Rj)
+    m = np.asarray(out.disp_final)          # device->host fetch = completion
+    run1 = time.time() - t0
+    print(f"run1 {run1:.1f}s  bad-2.0={bad_pixel_rate(m, gt):.4f}", flush=True)
+    if run1 > 150:
+        print("run1 over the 150 s safety bound; skipping device_time "
+              "(3 more executions) — treat run1 wall as the number",
+              flush=True)
+        return
+    sec = device_time(_checksum(lambda l, r: fn(l, r)), (Lj, Rj),
+                      n_lo=1, n_hi=2, reps=1)
+    print(f"device_time {sec:.2f} s  "
+          f"{ROWS4K*COLS4K*D4K/sec/1e6:.0f} MPixDisp/s", flush=True)
+
+
+if __name__ == "__main__":
+    {"serving": serving, "sweep4k": sweep4k, "canon4k": canon4k}[sys.argv[1]]()

@@ -1,11 +1,21 @@
 // Cross-implementation parity baseline: independent C++ re-implementations
-// of the five ACTIVE reference paths (VERDICT r1 item 2).
+// of the five ACTIVE reference paths (VERDICT r1 item 2) and of the
+// CANONICAL AD-Census family (VERDICT r4 item 3).
 //
 //   sad       SAD/SADmain.cpp:66        (left map, uniqueness WTA)
 //   ncc       NCC/NCC_main.cpp:33       (interior argmax)
 //   asw       ASW/ASWeight.cpp:60-79    (L+R + full post chain)
 //   ad_census AD-CensusV1/main.cpp:58-84 (fused cost, arms, rect-mean, L+R)
 //   cblsm     CBLSM/CBLSM.cpp:133-153   (AD cost, 2x rect-mean, L+R)
+//   canonical    fused cost -> canonical arms (t1/t2/L1/L2,
+//                cross_aggregator.cpp:135-269) -> iterative two-pass cross
+//                aggregation with support counts (cross_aggregator.cpp:
+//                89-118,271-394) -> tso-scheduled 4-path scanline
+//                (adcensus_types.h:72 so_p1/so_p2/so_tso, Mei et al.
+//                schedule) on BOTH volumes -> dual WTA -> canonical post
+//                (rounded LR check PostProcessing.h:72-135, iterative
+//                region voting irv_ts/irv_th, truncate median)
+//   canonical_da same plus discontinuity adjustment (adcensus_types.h:74)
 //
 // Written independently — no code taken from the reference; plain per-pixel
 // loops over flat arrays.  Semantics follow the *intended* behavior the

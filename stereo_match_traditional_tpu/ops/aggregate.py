@@ -704,9 +704,14 @@ def cross_aggregate(
       (Teddy, D=60, 4 iters): 26.5 -> 16.2 ms, WTA tie flips 0.023%,
       bad-2.0 unchanged.
     * ``'gather'`` — row/column prefix sums + contiguous-D-row picks
-      (:func:`_hsum` / :func:`_vsum`).
+      (:func:`_hsum` / :func:`_vsum`) in the documented ``[D, H, W]``
+      layout.  Always honored verbatim (the exactness cross-check escape
+      hatch — never silently rerouted).
+    * ``'pixel_major'`` — the serving-range ``[H, W, D]`` passes
+      (:func:`_hsum_pm` / :func:`_vsum_pm`): zero per-pass layout moves.
     * ``'auto'`` — matmul for ``[D, H, W]`` volumes while the band tensors
-      fit ``_MM_BAND_LIMIT_BYTES``; gather otherwise (at 720p the dense
+      fit ``_MM_BAND_LIMIT_BYTES``; else pixel-major for
+      ``D >= _CROSS_PM_MIN_D``; gather otherwise (at 720p the dense
       bands would need ~7 GB).
 
     ``max_arm``: static arm-length cap (`CrossAggregatorParams.cross_l1`
@@ -744,19 +749,26 @@ def cross_aggregate(
         )
     elif method == "matmul":
         use_mm = True
-    elif method == "gather":
+    elif method in ("gather", "pixel_major"):
         use_mm = False
     else:
-        raise ValueError(f"method must be 'auto', 'matmul' or 'gather': {method}")
+        raise ValueError(
+            f"method must be 'auto', 'matmul', 'gather' or 'pixel_major': {method}"
+        )
 
     hf = horizontal_first
-    if (
+    use_pm = method == "pixel_major" or (
         not use_mm
-        and method in ("auto", "gather")
+        and method == "auto"
         and vol.ndim == 3
         and max_arm is None
         and vol.shape[0] >= _CROSS_PM_MIN_D
-    ):
+    )
+    if use_pm:
+        if vol.ndim != 3 or max_arm is not None:
+            raise ValueError(
+                "method='pixel_major' needs a [D, H, W] volume and max_arm=None"
+            )
         # serving disparity ranges: pixel-major passes, one transpose in
         # and one out (vs ~3 full-volume layout moves PER PASS in the
         # [D, H, W] gather path — the 100x cliff the _CROSS_PM_MIN_D

@@ -79,13 +79,26 @@ from stereo_match_traditional_tpu.parallel.tiled import (
 def _device_memory_bytes() -> float:
     """Accelerator memory of device 0.  ``memory_stats()`` when the backend
     reports it (None through the axon relay); otherwise 16 GiB — the v5e
-    HBM, conservative for larger parts."""
+    HBM, conservative for larger parts.  On the CPU *backend* the 16 GiB
+    guess could exceed the host's actual RAM (auto_row_tile would then
+    model a live set that OOMs instead of raising its guidance error), so
+    the fallback there is half the physical host memory."""
+    dev = None
     try:
-        stats = jax.devices()[0].memory_stats()
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
     except Exception:
         stats = None
     if stats and stats.get("bytes_limit"):
         return float(stats["bytes_limit"])
+    if dev is not None and dev.platform == "cpu":
+        try:
+            import os
+
+            host = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            return 0.5 * float(host)
+        except (ValueError, OSError, AttributeError):
+            pass
     return float(16 * 2**30)
 
 
@@ -250,6 +263,11 @@ def _discontinuity_adjustment_streamed(dmap, left, right, cfg, row_tile):
     exact, never materializing the full [D, H, W] volume."""
     from stereo_match_traditional_tpu.ops import post
 
+    if left.ndim != 2 or right.ndim != 2:
+        raise ValueError(
+            "streamed discontinuity adjustment takes grayscale [H, W] "
+            f"inputs (got {left.ndim}-D); see _ad_census_canonical_streamed"
+        )
     halo = receptive_field_rows("ad_census", cfg)
     t = row_tile
     h, w = dmap.shape
@@ -291,6 +309,13 @@ def _ad_census_canonical_streamed(cfg, row_tile: int):
     d = cfg.disp_range
 
     def run(left, right):
+        if left.ndim != 2 or right.ndim != 2:
+            raise ValueError(
+                "the canonical streamed executor takes grayscale [H, W] "
+                f"inputs (got {left.ndim}-D); color guidance is not "
+                "plumbed through the band sweeps — convert with "
+                "utils.io.rgb_to_gray_u8 or use the direct/tiled executors"
+            )
         h, w = left.shape[:2]
         t = row_tile or auto_row_tile("ad_census", cfg, h, w)
         nb = -(-h // t)

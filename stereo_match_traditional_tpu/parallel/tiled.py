@@ -345,6 +345,15 @@ def _check_tiled_support(name: str, cfg) -> None:
         raise ValueError(
             f"unknown ASW approx {cfg.approx!r}; expected 'none' or 'grid'"
         )
+    elif (
+        name == "asw"
+        and cfg.variant == "lab"
+        and getattr(cfg, "approx", "none") != "none"
+    ):
+        # same contract as the direct pipeline (models/asw.py): the grid
+        # approximation is defined for the active bilateral variant only
+        raise ValueError("approx='grid' is implemented for the active "
+                         "bilateral variant, not variant='lab'")
     elif name == "ad_census" and cfg.aggregation not in (
         "rect_mean", "cross_two_pass", "none"
     ):

@@ -111,17 +111,19 @@ def test_rect_mean_exclusive_empty_region_keeps_center():
 
 def test_cross_aggregate_pixel_major_matches_gather():
     """The D >= _CROSS_PM_MIN_D pixel-major path (zero per-pass layout
-    moves — the serving-size executor's aggregation) equals the [D, H, W]
-    gather path to the SAT-cancellation fp envelope, and span_cap (a
-    chunk-halo hint) never changes values."""
+    moves — the serving-size executor's aggregation) equals the documented
+    [D, H, W] prefix-sum/gather path (method='gather' is never rerouted)
+    to the SAT-cancellation fp envelope, and span_cap (a chunk-halo hint)
+    never changes values."""
     rng = np.random.default_rng(13)
     h, w, d = 37, 45, aggregate._CROSS_PM_MIN_D + 2
     img = _img(seed=5, h=h, w=w, color=False)
     p = CrossAggregatorParams()
     arms = aggregate.canonical_cross_arms(img, p)
     vol = rng.standard_normal((d, h, w)).astype(np.float32)
-    pm = np.asarray(aggregate.cross_aggregate(vol, arms, 4, span_cap=p.cross_l1))
+    pm = np.asarray(aggregate.cross_aggregate(
+        vol, arms, 4, method="pixel_major", span_cap=p.cross_l1))
     ga = np.asarray(aggregate.cross_aggregate(vol, arms, 4, method="gather"))
     np.testing.assert_allclose(pm, ga, rtol=2e-4, atol=2e-5)
-    pm2 = np.asarray(aggregate.cross_aggregate(vol, arms, 4))
+    pm2 = np.asarray(aggregate.cross_aggregate(vol, arms, 4, method="pixel_major"))
     np.testing.assert_array_equal(pm, pm2)
