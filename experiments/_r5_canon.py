@@ -14,8 +14,11 @@ Parts (run one at a time on the real chip, `python experiments/_r5_canon.py PART
   (n_lo=1/n_hi=2/reps=1) only if run1 is under the safety bound —
   NEVER kill a dispatched 4K run (the axon queue trap, see verify skill).
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -37,6 +37,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -414,6 +415,327 @@ void ad_census_volumes(const std::vector<uint8_t>& L,
       }
 }
 
+// ------------------------------------------------- canonical AD-Census family
+//
+// Independent loop implementation of the canonical chain the framework
+// runs for ADCensusConfig(aggregation='cross_two_pass'): the vendored
+// CrossAggregator arm/aggregation rules (CBLSM/cross_aggregator.cpp),
+// the tso-scheduled scanline the ADCensusOption so_* fields declare
+// (CBLSM/adcensus_types.h:72, Mei et al. schedule), and the canonical
+// post chain (rounded LR check AD-CensusV1/PostProcessing.h:72-135,
+// iterative region voting irv_ts/irv_th, optional discontinuity
+// adjustment, truncate median).
+
+const float kInvalid = std::numeric_limits<float>::infinity();
+
+// Canonical arm growth (cross_aggregator.cpp:135-269 rules): candidate at
+// offset o extends the arm iff in bounds, |cand - center| < t1, for o > 1
+// also |cand - previous| < t1, and for o > L2 additionally
+// |cand - center| < t2; capped at L1.  No min-1 rule.
+void grow_canonical_arms(const std::vector<uint8_t>& img, int t1, int t2,
+                         int l1, int l2, int di, int dj,
+                         std::vector<int>& arm) {
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      int c = img[size_t(i) * W + j];
+      int prev = c, len = 0;
+      for (int o = 1; o <= l1; ++o) {
+        int ii = i + di * o, jj = j + dj * o;
+        if (ii < 0 || ii >= H || jj < 0 || jj >= W) break;
+        int cand = img[size_t(ii) * W + jj];
+        if (std::abs(cand - c) >= t1) break;
+        if (o > 1 && std::abs(cand - prev) >= t1) break;
+        if (o > l2 && std::abs(cand - c) >= t2) break;
+        len = o;
+        prev = cand;
+      }
+      arm[size_t(i) * W + j] = len;
+    }
+}
+
+Arms canonical_arms(const std::vector<uint8_t>& img, int t1, int t2, int l1,
+                    int l2) {
+  Arms a;
+  size_t n = size_t(H) * W;
+  a.left.resize(n); a.right.resize(n); a.up.resize(n); a.down.resize(n);
+  grow_canonical_arms(img, t1, t2, l1, l2, 0, -1, a.left);
+  grow_canonical_arms(img, t1, t2, l1, l2, 0, +1, a.right);
+  grow_canonical_arms(img, t1, t2, l1, l2, -1, 0, a.up);
+  grow_canonical_arms(img, t1, t2, l1, l2, +1, 0, a.down);
+  return a;
+}
+
+// One horizontal arm-span pass: out(i,j,d) = sum_{s=-left..right} x(i,j+s,d)
+// (arm bounds keep reads in range by construction).
+void span_sum_h(const std::vector<float>& x, const Arms& arms,
+                std::vector<float>& out) {
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      size_t a = size_t(i) * W + j;
+      for (int d = 0; d < D; ++d) {
+        double s = 0.0;
+        for (int t = -arms.left[a]; t <= arms.right[a]; ++t)
+          s += x[(a + t) * D + d];
+        out[a * D + d] = float(s);
+      }
+    }
+}
+
+void span_sum_v(const std::vector<float>& x, const Arms& arms,
+                std::vector<float>& out) {
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      size_t a = size_t(i) * W + j;
+      for (int d = 0; d < D; ++d) {
+        double s = 0.0;
+        for (int t = -arms.up[a]; t <= arms.down[a]; ++t)
+          s += x[(a + size_t(t) * W) * D + d];
+        out[a * D + d] = float(s);
+      }
+    }
+}
+
+// 2-D span sums for the support counts (same shapes on a ones image).
+void span2_h(const std::vector<float>& x, const Arms& arms,
+             std::vector<float>& out) {
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      size_t a = size_t(i) * W + j;
+      double s = 0.0;
+      for (int t = -arms.left[a]; t <= arms.right[a]; ++t) s += x[a + t];
+      out[a] = float(s);
+    }
+}
+
+void span2_v(const std::vector<float>& x, const Arms& arms,
+             std::vector<float>& out) {
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      size_t a = size_t(i) * W + j;
+      double s = 0.0;
+      for (int t = -arms.up[a]; t <= arms.down[a]; ++t)
+        s += x[a + size_t(t) * W];
+      out[a] = float(s);
+    }
+}
+
+// Iterative two-pass cross aggregation (cross_aggregator.cpp:89-118,
+// 327-394 as the framework implements it): per iteration sum along one
+// axis inside the arm span, then along the other inside the arm span of
+// the first-pass result, normalize by the matching support-pixel count,
+// flip the pass order.  horizontal-first on iteration 0.
+void cross_aggregate_canonical(std::vector<float>& vol, const Arms& arms,
+                               int iters) {
+  size_t npx = size_t(H) * W, nv = npx * D;
+  std::vector<float> ones(npx, 1.0f), t2d(npx), sup_h(npx), sup_v(npx);
+  span2_h(ones, arms, t2d);
+  span2_v(t2d, arms, sup_h);
+  span2_v(ones, arms, t2d);
+  span2_h(t2d, arms, sup_v);
+  std::vector<float> tmp(nv);
+  bool hf = true;
+  for (int it = 0; it < iters; ++it) {
+    const std::vector<float>& sup = hf ? sup_h : sup_v;
+    if (hf) {
+      span_sum_h(vol, arms, tmp);
+      span_sum_v(tmp, arms, vol);
+    } else {
+      span_sum_v(vol, arms, tmp);
+      span_sum_h(tmp, arms, vol);
+    }
+    for (size_t a = 0; a < npx; ++a)
+      for (int d = 0; d < D; ++d) vol[a * D + d] /= sup[a];
+    hf = !hf;
+  }
+}
+
+// Canonical tso penalty scale (adcensus_types.h:72 semantics, Mei et al.):
+// D1 = |g1(p) - g1(p-r)| on the base image, D2 the same on the matched
+// image at the per-d match column; both < tso -> 1.0, exactly one >= tso
+// -> 0.25, both >= -> 0.1.
+inline float tso_scale(float d1, float d2, float tso) {
+  bool o1 = d1 >= tso, o2 = d2 >= tso;
+  return (o1 && o2) ? 0.1f : ((o1 || o2) ? 0.25f : 1.0f);
+}
+
+// One directional canonical pass along (di, dj), accumulated into acc.
+// Recurrence identical to the framework's _make_canonical_step: the
+// path's first pixel keeps its cost; afterwards
+//   out(d) = c(d) + min(prev(d), prev(d-1)+P1*s, prev(d+1)+P1*s,
+//                       prev_min+P2*s) - prev_min
+// with s the per-(pixel, d) tso scale vs the path predecessor.
+void canonical_pass(const std::vector<float>& cost,
+                    const std::vector<uint8_t>& base,
+                    const std::vector<uint8_t>& match, bool left_view,
+                    float p1, float p2, float tso, int di, int dj,
+                    std::vector<double>& acc) {
+  const float kBig = std::numeric_limits<float>::infinity();
+  int dir = left_view ? -1 : +1;
+  std::vector<float> prev(D), cur(D);
+  // path starts: all pixels whose predecessor (i-di, j-dj) is outside
+  for (int i0 = 0; i0 < H; ++i0)
+    for (int j0 = 0; j0 < W; ++j0) {
+      int pi = i0 - di, pj = j0 - dj;
+      if (pi >= 0 && pi < H && pj >= 0 && pj < W) continue;  // mid-path
+      int i = i0, j = j0;
+      float prev_min = 0.0f;
+      bool first = true;
+      while (i >= 0 && i < H && j >= 0 && j < W) {
+        size_t a = size_t(i) * W + j;
+        if (first) {
+          for (int d = 0; d < D; ++d) cur[d] = cost[a * D + d];
+          first = false;
+        } else {
+          int ppi = i - di, ppj = j - dj;
+          size_t pa = size_t(ppi) * W + ppj;
+          float d1 = std::fabs(float(base[a]) - float(base[pa]));
+          for (int d = 0; d < D; ++d) {
+            float g2c = px(match, i, clampi(j + dir * d, 0, W - 1));
+            float g2p = px(match, ppi, clampi(ppj + dir * d, 0, W - 1));
+            float s = tso_scale(d1, std::fabs(g2c - g2p), tso);
+            float l1 = prev[d];
+            float l2 = (d > 0 ? prev[d - 1] : kBig) + p1 * s;
+            float l3 = (d < D - 1 ? prev[d + 1] : kBig) + p1 * s;
+            float l4 = prev_min + p2 * s;
+            float m = std::min(std::min(l1, l2), std::min(l3, l4));
+            cur[d] = cost[a * D + d] + m - prev_min;
+          }
+        }
+        prev_min = cur[0];
+        for (int d = 1; d < D; ++d) prev_min = std::min(prev_min, cur[d]);
+        for (int d = 0; d < D; ++d) {
+          acc[a * D + d] += cur[d];
+          prev[d] = cur[d];
+        }
+        i += di; j += dj;
+      }
+    }
+}
+
+// 4-path canonical scanline: average of the four directional volumes.
+void canonical_scanline(std::vector<float>& vol,
+                        const std::vector<uint8_t>& base,
+                        const std::vector<uint8_t>& match, bool left_view,
+                        float p1, float p2, float tso) {
+  std::vector<double> acc(vol.size(), 0.0);
+  canonical_pass(vol, base, match, left_view, p1, p2, tso, 0, +1, acc);
+  canonical_pass(vol, base, match, left_view, p1, p2, tso, 0, -1, acc);
+  canonical_pass(vol, base, match, left_view, p1, p2, tso, +1, 0, acc);
+  canonical_pass(vol, base, match, left_view, p1, p2, tso, -1, 0, acc);
+  for (size_t k = 0; k < vol.size(); ++k) vol[k] = float(acc[k] * 0.25);
+}
+
+// Canonical rounded LR check (PostProcessing.h:72-135 as the framework's
+// lr_check_consistency): col_right = trunc(j - dL + 0.5), out of range or
+// |dL - dR| > gate -> kInvalid.
+void lr_check_canonical(std::vector<float>& dl, const std::vector<float>& dr,
+                        float gate) {
+  std::vector<float> out(dl.size());
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      size_t a = size_t(i) * W + j;
+      int cr = int(std::trunc(float(j) - dl[a] + 0.5f));
+      bool in_range = cr >= 0 && cr < W;
+      float drv = dr[size_t(i) * W + clampi(cr, 0, W - 1)];
+      bool bad = in_range && std::fabs(dl[a] - drv) > gate;
+      out[a] = (bad || !in_range) ? kInvalid : dl[a];
+    }
+  dl.swap(out);
+}
+
+// Iterative region voting (irv_ts/irv_th, adcensus_types.h:73 as the
+// framework's iterative_region_voting): per iteration every invalid pixel
+// histograms the valid integer disparities over its two-pass cross region
+// (rows i-up(i,j)..i+down(i,j), each row spanning the arms of (r, j));
+// filled when total > ts and the plurality bin > th * total (first-max).
+void region_voting(std::vector<float>& d, const Arms& arms, float ts,
+                   float th, int iters) {
+  std::vector<float> out(d.size());
+  std::vector<int> hist(D);
+  for (int it = 0; it < iters; ++it) {
+    for (int i = 0; i < H; ++i)
+      for (int j = 0; j < W; ++j) {
+        size_t a = size_t(i) * W + j;
+        out[a] = d[a];
+        if (d[a] != kInvalid) continue;
+        std::fill(hist.begin(), hist.end(), 0);
+        int total = 0;
+        for (int t = -arms.up[a]; t <= arms.down[a]; ++t) {
+          size_t ra = a + size_t(t) * W;
+          for (int s = -arms.left[ra]; s <= arms.right[ra]; ++s) {
+            float v = d[ra + s];
+            if (v == kInvalid) continue;
+            int b = int(std::nearbyint(v));
+            if (b >= 0 && b < D) { ++hist[b]; ++total; }
+          }
+        }
+        int best = 0, bestv = -1;
+        for (int b = 0; b < D; ++b)
+          if (hist[b] > bestv) { bestv = hist[b]; best = b; }
+        if (total > ts && float(bestv) > th * float(total))
+          out[a] = float(best);
+      }
+    d.swap(out);
+  }
+}
+
+// Discontinuity adjustment (adcensus_types.h:74 as the framework's
+// discontinuity_adjustment): at horizontal discontinuities (> 1 vs a
+// valid neighbor) take whichever neighbor disparity has the lower
+// aggregated cost at this pixel, if lower than the pixel's own.
+void discontinuity_adjust(std::vector<float>& d,
+                          const std::vector<float>& vol) {
+  std::vector<float> out(d);
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      size_t a = size_t(i) * W + j;
+      float self = d[a];
+      bool valid = self != kInvalid;
+      float ln = d[size_t(i) * W + clampi(j - 1, 0, W - 1)];
+      float rn = d[size_t(i) * W + clampi(j + 1, 0, W - 1)];
+      bool lok = valid && ln != kInvalid;
+      bool rok = valid && rn != kInvalid;
+      bool edge = (lok && std::fabs(self - ln) > 1.0f) ||
+                  (rok && std::fabs(self - rn) > 1.0f);
+      if (!edge) continue;
+      auto cost_at = [&](float dv, bool ok) {
+        if (!ok) return kInvalid;
+        int idx = clampi(int(std::nearbyint(dv)), 0, D - 1);
+        return vol[a * D + idx];
+      };
+      float cs = cost_at(self, valid);
+      float cl = cost_at(ln, lok);
+      float crr = cost_at(rn, rok);
+      float best = self, bestc = cs;
+      if (cl < bestc) { best = ln; bestc = cl; }
+      if (crr < bestc) { best = rn; }
+      out[a] = best;
+    }
+  d.swap(out);
+}
+
+// Truncate-border window median (PostProcessing.h:314-344 semantics as
+// the framework's median_filter(border='truncate')): only in-bounds
+// values participate, median = sorted[count / 2].
+void median_truncate(std::vector<float>& d, int size) {
+  int r = size / 2;
+  std::vector<float> out(d.size());
+  std::vector<float> win;
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      win.clear();
+      for (int oy = -r; oy <= r; ++oy)
+        for (int ox = -r; ox <= r; ++ox) {
+          int ii = i + oy, jj = j + ox;
+          if (ii < 0 || ii >= H || jj < 0 || jj >= W) continue;
+          win.push_back(d[size_t(ii) * W + jj]);
+        }
+      std::sort(win.begin(), win.end());
+      out[size_t(i) * W + j] = win[win.size() / 2];
+    }
+  d.swap(out);
+}
+
 void write_map(const std::string& path, const std::vector<float>& m) {
   FILE* f = fopen(path.c_str(), "wb");
   if (!f) { perror(path.c_str()); exit(2); }
@@ -477,6 +799,30 @@ int main(int argc, char** argv) {
     rect_mean(volR, ar, agg); wta_min(agg, dr);
     write_map(out + ".left.f32", dl);
     write_map(out + ".right.f32", dr);
+  } else if (pipe == "canonical" || pipe == "canonical_da") {
+    // ADCensusOption parameter set (CBLSM/adcensus_types.h:45-75):
+    // lambda_ad 10, lambda_census 30, t1/t2 20/6, L1/L2 34/17,
+    // so_p1/so_p2/so_tso 1/3/15, lrcheck 1.0, irv_ts/irv_th 20/0.4,
+    // 4 aggregation iterations (CBLSM.cpp:142).
+    size_t nv = npx * D;
+    std::vector<float> volL(nv), volR(nv);
+    ad_census_volumes(L, R, 10.0, 30.0, volL, volR);
+    Arms al = canonical_arms(L, 20, 6, 34, 17);
+    Arms ar = canonical_arms(R, 20, 6, 34, 17);
+    cross_aggregate_canonical(volL, al, 4);
+    cross_aggregate_canonical(volR, ar, 4);
+    canonical_scanline(volL, L, R, true, 1.0f, 3.0f, 15.0f);
+    canonical_scanline(volR, R, L, false, 1.0f, 3.0f, 15.0f);
+    wta_min(volL, dl);
+    wta_min(volR, dr);
+    write_map(out + ".left.f32", dl);
+    write_map(out + ".right.f32", dr);
+    std::vector<float> fin(dl);
+    lr_check_canonical(fin, dr, 1.0f);
+    region_voting(fin, al, 20.0f, 0.4f, 5);
+    if (pipe == "canonical_da") discontinuity_adjust(fin, volL);
+    median_truncate(fin, 3);
+    write_map(out + ".final.f32", fin);
   } else if (pipe == "cblsm") {
     size_t nv = npx * D;
     std::vector<float> volL(nv), volR(nv), t(nv);

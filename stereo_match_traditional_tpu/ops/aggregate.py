@@ -400,9 +400,75 @@ def _rect_sums_shared_bounds(
     return jnp.moveaxis(out.reshape(out_shape + (d,)), -1, 0)
 
 
+# Pixel-major rect corner picks (round-5 attempt at VERDICT r4 item 4):
+# SAT and picks in [H, W, D] with the disparity axis padded to a lane-
+# friendly multiple, so the flat gather source is a FREE reshape and row
+# chunks are FREE slices (the pm idea that removed the cross-aggregation
+# transposes).  Toggled by _RECT_PM_AUTO pending the measured verdict.
+_RECT_PM_AUTO = False
+_RECT_PM_PAD = 64
+
+
+def _rect_sums_pm(
+    vol: jax.Array, i0, i1, j0, j1, max_span: Optional[int] = None,
+    pad_to: int = _RECT_PM_PAD,
+) -> jax.Array:
+    """:func:`_rect_sums_shared_bounds` in pixel-major layout.
+
+    ``vol`` [D, H, W] transposes ONCE to [H, W, Dp] (D zero-padded to a
+    ``pad_to`` multiple — padded SAT columns are all zero and are sliced
+    off after the picks); the SAT runs as the same HIGHEST-precision
+    triangular contractions (cols then rows, the `_sat` order) on the pm
+    layout, so values can differ from the d-major path in the final ulp
+    of the SAT cancellation only.  Picks fetch contiguous D-rows from a
+    free ``[(H+1)*(W+1), Dp]`` reshape; row chunks (same ~24 MB target /
+    2x-halo floor / 100 MB cap rules) are free leading-axis slices.
+    """
+    d, h, w = vol.shape
+    dp = -(-d // pad_to) * pad_to
+    x = jnp.moveaxis(vol, 0, -1)                       # [H, W, D]
+    if dp != d:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
+    c = jnp.pad(
+        _cumsum_axis0(_mxu_cumsum(x, -2)), ((1, 0), (1, 0), (0, 0))
+    )                                                  # [H+1, W+1, Dp]
+    hp, wp = h + 1, w + 1
+    if max_span is not None and 4 * dp * hp * wp > _GATHER_CHUNK_MIN_BYTES:
+        halo = 2 * max_span + 1
+        target = min(_GATHER_FAST_SRC_BYTES,
+                     max(_GATHER_CHUNK_TARGET_BYTES, 4 * dp * wp * 3 * halo))
+        band = max(8, target // (4 * dp * wp) - halo)
+        outs = []
+        for r0 in range(0, h, band):
+            r1 = min(r0 + band, h)
+            lo = max(0, r0 - max_span)
+            hi = min(hp, r1 + max_span + 1)
+            flat = c[lo:hi].reshape((hi - lo) * wp, dp)
+            sl = slice(r0, r1)
+            li0, li1 = i0[sl] - lo, i1[sl] + 1 - lo
+            lj0, lj1 = j0[sl], j1[sl] + 1
+
+            def g(ii, jj):
+                return flat[(ii * wp + jj).reshape(-1)]
+
+            tot = g(li1, lj1) - g(li0, lj1) - g(li1, lj0) + g(li0, lj0)
+            outs.append(tot.reshape(r1 - r0, w, dp))
+        out = jnp.concatenate(outs, axis=0)
+    else:
+        flat = c.reshape(hp * wp, dp)
+
+        def g(ii, jj):
+            return flat[(ii * wp + jj).reshape(-1)]
+
+        out = (
+            g(i1 + 1, j1 + 1) - g(i0, j1 + 1) - g(i1 + 1, j0) + g(i0, j0)
+        ).reshape(h, w, dp)
+    return jnp.moveaxis(out[..., :d], -1, 0)
+
+
 def rect_mean_aggregate(
     vol: jax.Array, arms: Arms, inclusive: bool = True,
-    max_span: Optional[int] = None,
+    max_span: Optional[int] = None, layout: str = "auto",
 ) -> jax.Array:
     """Per-pixel arm-rectangle mean over each disparity slice.
 
@@ -420,6 +486,11 @@ def rect_mean_aggregate(
     ``max_span``: static arm-length cap (``CrossArmConfig.max_length``)
     enabling the row-chunked gather source at serving sizes — bit-identical
     (see :func:`_rect_sums_shared_bounds`).
+
+    ``layout``: ``'dmajor'`` (the documented [D, H, W] SAT + contiguous-
+    D-row picks), ``'pixel_major'`` (:func:`_rect_sums_pm`), or ``'auto'``
+    (currently d-major unless ``_RECT_PM_AUTO``; the pm variant differs in
+    the last ulp of the SAT cancellation only).
     """
     h, w = vol.shape[-2], vol.shape[-1]
     ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -436,7 +507,11 @@ def rect_mean_aggregate(
     i1 = jnp.clip(i1, 0, h - 1)
     j0 = jnp.clip(j0, 0, w - 1)
     j1 = jnp.clip(j1, 0, w - 1)
-    total = _rect_sums_shared_bounds(vol, i0, i1, j0, j1, max_span)
+    use_pm = layout == "pixel_major" or (layout == "auto" and _RECT_PM_AUTO)
+    if use_pm and vol.ndim == 3:
+        total = _rect_sums_pm(vol, i0, i1, j0, j1, max_span)
+    else:
+        total = _rect_sums_shared_bounds(vol, i0, i1, j0, j1, max_span)
     mean = total / jnp.maximum(count, 1).astype(vol.dtype)
     # empty exclusive regions at borders (e.g. up=down=0 at row 0) clip to a
     # spurious strip; the reference divides 0/0 there — keep the centre cost

@@ -63,6 +63,46 @@ transcendental pipelines for free behind the surrounding vector ops, so
 reducing exp *count* cannot help.  (Historical dead ends — the factored
 in-register rewrite at 113 ms, per-d vreg accumulation at 603 ms, d-chunked
 carries at 1.4-2.6x — are recorded in git history and BASELINE.md.)
+
+EXACT BINNED/FACTORED ACCUMULATION: CLOSED AS A NEGATIVE (round 5).
+The u8 domain makes the right-guidance color weight a <=256-value
+discrete function (the reference's own LUT, `ASW/ASW.h:41-47`), inviting
+an exact binned accumulation over the shear coordinate k = dx - d with
+per-bin partials reused across d.  The op-count arithmetic rules every
+exact variant out:
+
+* Writing the (p, d) term sum over offsets o = (dy, dx) as
+  gy(dy)*gx(dx) * cL[|l - a|] * cR[|r - c|] * min(|l - r|, T) with
+  l = L(y+dy, x+dx), r = R(y+dy, x+dx-d), a = L(y, x), c = R(y, x-d):
+  every factor except the separable space Gaussian depends on d — cL
+  through dx = k + d, cR through the CENTER c = R(y, x-d), and the
+  truncated error through l.  The only d-invariant per-(pixel, k)
+  quantity is the bare intensity r, which carries no summation weight,
+  so no partial sum over k can be reused across d.  Reuse across
+  neighboring output pixels fails the same way: a column pair
+  (xl, xr = xl - d) is consumed by 2R+1 outputs x, each with different
+  centers (a, c) — sharing would be data-dependent intensity
+  coincidence, not structure.
+* Binning the d-dependence of the centers away costs more than it
+  saves: per-bin partials over the right center c alone need 256
+  evaluations per (pixel, offset) where the direct stream needs D = 60
+  (a 4.3x inflation before use), and the error term's coupling of l
+  and r adds a 256-bin l dimension on top (joint 65,536x).  The
+  histogram (Porikli) form of the same idea needs a 256^2-bin joint
+  histogram vs the direct stream's (2R+1)^2 = 625 terms — 100x more
+  bins than window taps, and the *Gaussian* (non-box) space mask rules
+  out O(1) sliding-histogram updates anyway.  The B < w^2 regime where
+  exact binning wins is the single-guidance bilateral — exactly what
+  the opt-in `approx='grid'` mode (quantized PBFIC) already exploits,
+  with its accuracy gap measured (+0.5pp Teddy, +3.4pp 720p bad-2.0).
+* Therefore every exact scheme evaluates >= 1 MAC per (pixel, offset,
+  d) term — the direct stream's asymptotic count is already minimal.
+  The kernel's ~10 vector ops per term against a ~4-op ideal bounds
+  any remaining scheduling win below 2.5x, and the round-2 ablations
+  (exp deletion: no change; operand streams cost 67 of 76 ms however
+  delivered) show the residue is operand delivery, not arithmetic.
+  A >= 1.5x exact win does not exist on this hardware model; further
+  speed requires approximation (grid mode) or different hardware.
 """
 
 from __future__ import annotations

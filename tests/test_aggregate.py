@@ -109,6 +109,30 @@ def test_rect_mean_exclusive_empty_region_keeps_center():
     np.testing.assert_array_equal(out, np.asarray(vol))
 
 
+def test_rect_mean_pixel_major_matches_dmajor():
+    """The pixel-major rect SAT+picks (layout='pixel_major', D lane-padded
+    to 64) equals the documented d-major path to the SAT-cancellation fp
+    envelope, in both the small-source and row-chunked regimes."""
+    rng = np.random.default_rng(17)
+    img = _img(seed=7, h=41, w=53, color=False)
+    arms = aggregate.cross_arms(img, CrossArmConfig())
+    vol = rng.standard_normal((60, 41, 53)).astype(np.float32)
+    a = np.asarray(aggregate.rect_mean_aggregate(
+        vol, arms, max_span=34, layout="dmajor"))
+    b = np.asarray(aggregate.rect_mean_aggregate(
+        vol, arms, max_span=34, layout="pixel_major"))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    # chunked regime: force tiny chunk thresholds so the row-banded pm
+    # source path runs at test size (bit-identical picks of the same SAT)
+    import unittest.mock as mock
+    with mock.patch.object(aggregate, "_GATHER_CHUNK_MIN_BYTES", 1 << 16), \
+         mock.patch.object(aggregate, "_GATHER_CHUNK_TARGET_BYTES", 1 << 17), \
+         mock.patch.object(aggregate, "_GATHER_FAST_SRC_BYTES", 1 << 18):
+        c = np.asarray(aggregate.rect_mean_aggregate(
+            vol, arms, max_span=34, layout="pixel_major"))
+    np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
+
+
 def test_cross_aggregate_pixel_major_matches_gather():
     """The D >= _CROSS_PM_MIN_D pixel-major path (zero per-pass layout
     moves — the serving-size executor's aggregation) equals the documented

@@ -118,6 +118,40 @@ def test_framework_matches_cpp(binary, pair_files, name, cfg, fields):
         assert agree >= 0.99, (name, cpp_field, agree)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("da", [False, True], ids=["canonical", "canonical_da"])
+def test_framework_matches_cpp_canonical(binary, pair_files, da):
+    """Canonical-family cross-implementation parity (VERDICT r4 item 3):
+    canonical arms (t1/t2/L1/L2) -> iterative two-pass cross aggregation
+    with support counts -> tso-scheduled 4-path scanline on both volumes
+    -> dual WTA -> canonical post (rounded LR check, iterative region
+    voting, optional discontinuity adjustment, truncate median), vs the
+    independent loop implementation in parity_baseline.cpp.
+
+    The scanline is a min-plus chain over float sums whose order differs
+    between the two implementations, so WTA ties flip within the same 1%
+    budget as the active paths; INVALID (inf) pixels must agree as a set
+    (mapped to -1 before comparing)."""
+    L, R, gt, lp, rp, outdir = pair_files
+    cpp = _run_cpp(binary, "canonical_da" if da else "canonical", lp, rp, outdir)
+    fn, _ = get_pipeline("ad_census")
+    cfg = cfgs.ADCensusConfig(
+        disp_range=D, aggregation="cross_two_pass",
+        scanline=cfgs.ScanlineConfig(), run_post=True,
+        cross_params=cfgs.CrossAggregatorParams(do_discontinuity_adjustment=da),
+    )
+    res = fn(jnp.asarray(L), jnp.asarray(R), cfg)
+    for cpp_field, attr in (
+        ("left", "disp_left"), ("right", "disp_right"), ("final", "disp_final"),
+    ):
+        ours = np.asarray(getattr(res, attr)).copy()
+        theirs = cpp[cpp_field].copy()
+        ours[~np.isfinite(ours)] = -1.0
+        theirs[~np.isfinite(theirs)] = -1.0
+        agree = _agreement(theirs, ours, ignore_cols=D)
+        assert agree >= 0.99, (cpp_field, agree)
+
+
 def test_cpp_baseline_accuracy_close_to_framework(binary, pair_files):
     """bad-2.0 vs ground truth must agree within 1 point on the flagship —
     the BASELINE.md accuracy target measured, not argued."""
