@@ -404,7 +404,17 @@ def _rect_sums_shared_bounds(
 # SAT and picks in [H, W, D] with the disparity axis padded to a lane-
 # friendly multiple, so the flat gather source is a FREE reshape and row
 # chunks are FREE slices (the pm idea that removed the cross-aggregation
-# transposes).  Toggled by _RECT_PM_AUTO pending the measured verdict.
+# transposes).  MEASURED NEGATIVE at reference disparity ranges (v5e,
+# experiments/_r5_rectpm.py, no-DCE e2e): cblsm 12.19 -> 12.35 ms,
+# flagship 8.75 -> 8.84 ms, 720p/D=128 flagship 87.7 -> 88.9 ms — at
+# D = 60 the [D, rows, W] -> [(rows*W), D] chunk transposes the pm layout
+# removes were already elided/cheap in whole-pipeline programs (the same
+# finding as round 2's "pixel-major rect->WTA threading is a no-op"),
+# and the lane padding 60 -> 64 buys nothing (picks were width-
+# insensitive at 60/64/128 per the round-2 gather table).  The pm win is
+# specific to the D >= 128 cross-aggregation regime where per-pass
+# full-volume layout moves dominated.  _RECT_PM_AUTO stays False;
+# layout='pixel_major' remains for cross-checks.
 _RECT_PM_AUTO = False
 _RECT_PM_PAD = 64
 
