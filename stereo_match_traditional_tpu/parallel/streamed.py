@@ -124,11 +124,18 @@ def auto_row_tile(name: str, cfg, h: int, w: int, memory_bytes=None) -> int:
     """
     d = getattr(cfg, "disp_range", getattr(cfg, "max_disparity", 1))
     halo = receptive_field_rows(name, cfg)
-    budget = 0.70 * (memory_bytes if memory_bytes else _device_memory_bytes())
-    row_bytes = d * w * 4.0
-    rows_budget = budget / row_bytes          # total live rows affordable
     canonical = name == "ad_census" and getattr(cfg, "aggregation", "") == "cross_two_pass"
     has_scanline = name == "ad_census" and getattr(cfg, "scanline", None) is not None
+    # Round-5 recalibration: at 4K/D=256 the canonical pick rt=224 under
+    # the 0.70 budget compiled to temp = 11.84 GiB (the round-4 slope
+    # under-predicts by ~1.8 GiB at that point — compiler scheduling is
+    # not linear in the band) and the EXECUTION crashed the TPU worker; a
+    # 0.55 budget lands between the verified rt=128 (7.85 GiB) and
+    # rt=216 (10.05 GiB) calibration points with worker headroom.
+    frac = 0.55 if (has_scanline and canonical) else 0.70
+    budget = frac * (memory_bytes if memory_bytes else _device_memory_bytes())
+    row_bytes = d * w * 4.0
+    rows_budget = budget / row_bytes          # total live rows affordable
     if has_scanline and canonical:
         t = (rows_budget - 4.5 * 2 * halo) / 8.0
     elif has_scanline:
