@@ -149,6 +149,69 @@ def accuracy4k():
           f"{bad_pixel_rate(np.asarray(res.disp_final), gt):.4f}", flush=True)
 
 
+def final4k():
+    """The round-5 4K finale in one process (one compile per program):
+
+    * canonical streamed (item 1): rt from the recalibrated auto model
+      with the 10.5 GiB guard; run1 + bad-2.0 + device_time on the
+      legacy pair; bad-2.0 on the representative slope-capped pair
+      (feature_scale = 24 * D/60 keeps |grad GT| at the D=60 level).
+    * active + FULL-'auto' streamed: bad-2.0 on both pairs (the programs
+      are pair-independent, so each extra pair is one execution).
+    """
+    Ll, Rl, gtl = make_pair(ROWS4K, COLS4K, D4K, seed=0)
+    fs = 24 * D4K // 60
+    Lr, Rr, gtr = make_pair(ROWS4K, COLS4K, D4K, seed=0, feature_scale=fs)
+    gy, gx = np.gradient(gtr)
+    s = np.hypot(gy, gx)
+    print(f"rep pair feature_scale={fs}: slope p50={np.percentile(s, 50):.2f} "
+          f"p90={np.percentile(s, 90):.2f} steep {(s > 1).mean():.3f}",
+          flush=True)
+    pairs = (("legacy", Ll, Rl, gtl), ("rep", Lr, Rr, gtr))
+
+    cfg = ADCensusConfig(
+        disp_range=D4K, aggregation="cross_two_pass",
+        scanline=ScanlineConfig(), run_post=True,
+    )
+    rt = auto_row_tile("ad_census", cfg, ROWS4K, COLS4K)
+    print(f"canonical row_tile={rt}", flush=True)
+    for attempt_rt in (rt, 128):
+        fn = jax.jit(streamed_pipeline("ad_census", cfg, row_tile=attempt_rt))
+        t0 = time.time()
+        comp = fn.lower(jnp.asarray(Ll), jnp.asarray(Rl)).compile()
+        temp = comp.memory_analysis().temp_size_in_bytes / 2**30
+        print(f"rt={attempt_rt} compiled {time.time()-t0:.0f}s "
+              f"temp={temp:.2f} GiB", flush=True)
+        if temp > 10.5 and attempt_rt != 128:
+            print("over the 10.5 GiB worker-headroom bound; rt=128",
+                  flush=True)
+            continue
+        break
+    for label, L, R, gt in pairs:
+        t0 = time.time()
+        m = np.asarray(comp(jnp.asarray(L), jnp.asarray(R)).disp_final)
+        print(f"canonical 4K {label}: run {time.time()-t0:.1f}s "
+              f"bad-2.0={bad_pixel_rate(m, gt):.4f}", flush=True)
+    sec = device_time(_checksum(lambda l, r: fn(l, r)),
+                      (jnp.asarray(Ll), jnp.asarray(Rl)),
+                      n_lo=1, n_hi=2, reps=1)
+    print(f"canonical 4K device_time {sec:.2f} s  "
+          f"{ROWS4K*COLS4K*D4K/sec/1e6:.0f} MPixDisp/s", flush=True)
+
+    for name, c in (
+        ("active", ADCensusConfig(disp_range=D4K)),
+        ("FULL auto", ADCensusConfig(
+            disp_range=D4K, run_post=True,
+            scanline=ScanlineConfig(penalty_scale="auto"))),
+    ):
+        g = jax.jit(streamed_pipeline("ad_census", c))
+        for label, L, R, gt in pairs:
+            res = g(jnp.asarray(L), jnp.asarray(R))
+            m = res.disp_final if res.disp_final is not None else res.disp_left
+            print(f"{name} 4K {label}: bad-2.0="
+                  f"{bad_pixel_rate(np.asarray(m), gt):.4f}", flush=True)
+
+
 if __name__ == "__main__":
     {"serving": serving, "sweep4k": sweep4k, "canon4k": canon4k,
-     "accuracy4k": accuracy4k}[sys.argv[1]]()
+     "accuracy4k": accuracy4k, "final4k": final4k}[sys.argv[1]]()

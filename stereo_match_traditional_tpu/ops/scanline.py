@@ -390,17 +390,24 @@ def scanline_optimize(
     # scan over a [N, 2, ...] layout measured 50x slower on v5e (and 6
     # minutes to compile) — XLA tiles the extra middle axis poorly.
     # horizontal: scan over W; body [D, H] (rows on the lane axis).
+    # Reversed scan operands go through rev_materialized: the raw
+    # `reverse` can fuse into the unrolled scan's strided input pipelining
+    # and CHECK-crash XLA:TPU at some shapes (fusion_emitter.cc:4290 —
+    # round-4 canonical repro at [540, 1920]/D=256, round-5 legacy
+    # streamed repro at the same geometry).  Bit-identical results.
     c_wdh = jnp.transpose(cost, (2, 0, 1))          # [W, D, H]
     g_wh = gray.astype(jnp.float32).T               # [W, H]
     lr, _ = _directional_pass(c_wdh, g_wh, p1, p2, True)
-    rl, _ = _directional_pass(c_wdh[::-1], g_wh[::-1], p1, p2, True)
+    rl, _ = _directional_pass(*rev_materialized(c_wdh, g_wh), p1, p2, True)
     horiz = lr + rl[::-1]                           # [W, D, H]
 
     # vertical: scan over H; body [D, W] (columns on the lane axis).
     c_hdw = jnp.transpose(cost, (1, 0, 2))          # [H, D, W]
     g_hw = gray.astype(jnp.float32)                 # [H, W]
     ud, _ = _directional_pass(c_hdw, g_hw, p1, p2, vert_dm1, p2_ref=vert_p2)
-    du, _ = _directional_pass(c_hdw[::-1], g_hw[::-1], p1, p2, vert_dm1, p2_ref=vert_p2)
+    du, _ = _directional_pass(
+        *rev_materialized(c_hdw, g_hw), p1, p2, vert_dm1, p2_ref=vert_p2
+    )
     vert = ud + du[::-1]                            # [H, D, W]
 
     return jnp.transpose(horiz, (1, 2, 0)) + jnp.transpose(vert, (1, 0, 2))

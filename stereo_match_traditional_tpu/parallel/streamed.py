@@ -485,11 +485,16 @@ def _ad_census_scanline_streamed(cfg, row_tile: int):
             into the real path — the step swaps in the exact identity
             carry there.
             """
-            c_up = jnp.transpose(agg_l, (1, 0, 2))[::-1]        # [t, D, W]
-            p2_up = p2_of(g, gl[None] if vert_first else gn)[::-1]
+            # reversed scan operands go through the materializing barrier:
+            # fusing `reverse` into the banded scan's strided input
+            # pipelining CHECK-crashes XLA:TPU at some shapes (round-5
+            # repro: legacy streamed FULL at [540, 1920]/D=256 — the same
+            # fusion_emitter.cc:4290 bug scanline.rev_materialized works
+            # around on the canonical paths)
+            c_t = jnp.transpose(agg_l, (1, 0, 2))               # [t, D, W]
+            p2_t = p2_of(g, gl[None] if vert_first else gn)
             rows_g = b * t + jnp.arange(t)
-            reset_up = (rows_g == h - 1)[::-1]
-            return c_up, p2_up, reset_up
+            return rev_materialized(c_t, p2_t, rows_g == h - 1)
 
         zc = (jnp.zeros((d, w), jnp.float32), jnp.zeros((w,), jnp.float32))
 
@@ -518,7 +523,9 @@ def _ad_census_scanline_streamed(cfg, row_tile: int):
             c_wdt = jnp.transpose(agg_l, (2, 0, 1))             # [W, D, t]
             g_wt = g.T
             lr_, _ = _directional_pass(c_wdt, g_wt, p1, p2_init, True)
-            rl_, _ = _directional_pass(c_wdt[::-1], g_wt[::-1], p1, p2_init, True)
+            rl_, _ = _directional_pass(
+                *rev_materialized(c_wdt, g_wt), p1, p2_init, True
+            )  # barrier: ReverseInput fusion CHECK (see up_inputs)
             horiz = jnp.transpose(lr_ + rl_[::-1], (2, 1, 0))   # [t, D, W]
             c_dn = jnp.transpose(agg_l, (1, 0, 2))              # [t, D, W]
             p2_dn = p2_of(g, gf[None] if vert_first else gp)
@@ -529,7 +536,10 @@ def _ad_census_scanline_streamed(cfg, row_tile: int):
             up, _ = directional_pass_banded(
                 c_up, p2_up, up_c, reset_up, p1, vert_dm1
             )
-            total = horiz + down + up[::-1]                     # [t, D, W]
+            # the up-result reverse is the one that actually trips the
+            # ReverseInput CHECK at [540, 1920]/D=256 (the canonical twin
+            # wraps exactly this reverse at its line for the same reason)
+            total = horiz + down + rev_materialized(up)[0]      # [t, D, W]
             disp_l = wta.wta(jnp.transpose(total, (1, 0, 2)), "min")
             disp_r = wta.wta(agg_r, "min")
             return carry, (disp_l, disp_r)

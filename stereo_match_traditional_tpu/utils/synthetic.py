@@ -40,6 +40,7 @@ def make_pair(
     max_disp: int = 16,
     seed: int = 0,
     color: bool = False,
+    feature_scale: int = 24,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Build (left, right, gt_disp).
 
@@ -47,6 +48,17 @@ def make_pair(
     (the standard rectified geometry assumed throughout the reference, e.g.
     `SAD/Sad.h:130`).  Disparity is integer-valued and piecewise smooth with
     a foreground box, so WTA pipelines can recover it near-exactly.
+
+    ``feature_scale``: pixel size of the disparity field's smooth features.
+    The default 24 keeps every historical BASELINE.md row comparable, but
+    note its slope consequence (measured round 5): the ramp's amplitude is
+    ``0.45 * max_disp`` over fixed 24-px features, so local |grad GT|
+    scales with ``max_disp`` — at D=256, 24% of pixels exceed 1 d/px,
+    which no local window matcher resolves within the fixed bad-2.0
+    threshold (the measured ~0.4 floor at 4K is a property of this pair).
+    Real high-resolution scenes have sub-pixel disparity gradients; pass
+    ``feature_scale=24 * max_disp // 60`` (slope-capped at the D=60
+    calibration level) for a REPRESENTATIVE high-D evaluation pair.
     """
     rng = np.random.default_rng(seed)
     # Texture must be busy enough for window matching: mix several scales.
@@ -58,7 +70,7 @@ def make_pair(
     tex = (tex - tex.min()) / (tex.max() - tex.min() + 1e-9)
 
     # Piecewise-smooth disparity: smooth ramp + a foreground rectangle.
-    base = _smooth_noise(rng, height, width, 24)
+    base = _smooth_noise(rng, height, width, feature_scale)
     base = (base - base.min()) / (base.max() - base.min() + 1e-9)
     disp = 2.0 + base * (max_disp * 0.45)
     y0, y1 = height // 4, height * 3 // 4
