@@ -173,20 +173,21 @@ def final4k():
         disp_range=D4K, aggregation="cross_two_pass",
         scanline=ScanlineConfig(), run_post=True,
     )
-    rt = auto_row_tile("ad_census", cfg, ROWS4K, COLS4K)
-    print(f"canonical row_tile={rt}", flush=True)
-    for attempt_rt in (rt, 128):
-        fn = jax.jit(streamed_pipeline("ad_census", cfg, row_tile=attempt_rt))
-        t0 = time.time()
-        comp = fn.lower(jnp.asarray(Ll), jnp.asarray(Rl)).compile()
-        temp = comp.memory_analysis().temp_size_in_bytes / 2**30
-        print(f"rt={attempt_rt} compiled {time.time()-t0:.0f}s "
-              f"temp={temp:.2f} GiB", flush=True)
-        if temp > 10.5 and attempt_rt != 128:
-            print("over the 10.5 GiB worker-headroom bound; rt=128",
-                  flush=True)
-            continue
-        break
+    # round-5 rt scan (compile-only, experiments/_r5_rtscan.py): temp is
+    # NON-monotone in the band — 136: 10.99, 128: 13.37, 112: 13.55,
+    # 96: 13.06, 80: 11.54, 64: 10.28 GiB — and executions at 11.84 and
+    # 13.37 GiB crashed the worker.  rt=64 is the measured safe point.
+    rt = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    fn = jax.jit(streamed_pipeline("ad_census", cfg, row_tile=rt))
+    t0 = time.time()
+    comp = fn.lower(jnp.asarray(Ll), jnp.asarray(Rl)).compile()
+    temp = comp.memory_analysis().temp_size_in_bytes / 2**30
+    print(f"rt={rt} compiled {time.time()-t0:.0f}s temp={temp:.2f} GiB",
+          flush=True)
+    if temp > 10.5:
+        print("over the 10.5 GiB worker-headroom bound; aborting the "
+              "canonical legs (pass an explicit rt to override)", flush=True)
+        return
     for label, L, R, gt in pairs:
         t0 = time.time()
         m = np.asarray(comp(jnp.asarray(L), jnp.asarray(R)).disp_final)
