@@ -442,7 +442,10 @@ def _rect_sums_pm(
     c = jnp.pad(
         _cumsum_axis0(_mxu_cumsum(x, -2)), ((1, 0), (1, 0), (0, 0))
     )                                                  # [H+1, W+1, Dp]
-    hp, wp = h + 1, w + 1
+    hp, wp = h + 1, -(-(w + 1) // 8) * 8
+    # sublane-padded flat stride — see _hsum_pm's STRIDE PAD note
+    if wp != w + 1:
+        c = jnp.pad(c, ((0, 0), (0, wp - (w + 1)), (0, 0)))
     if max_span is not None and 4 * dp * hp * wp > _GATHER_CHUNK_MIN_BYTES:
         halo = 2 * max_span + 1
         target = min(_GATHER_FAST_SRC_BYTES,
@@ -653,21 +656,35 @@ def _hsum_pm(x: jax.Array, left: jax.Array, right: jax.Array) -> jax.Array:
     """:func:`_hsum` on a pixel-major volume: x [H, W, D], arms [H, W] ->
     [H, W, D].  Prefix sums along W (``_mxu_cumsum(-2)``), picks from the
     free ``[(H*(W+1)), D]`` reshape, row-chunked at ``_GATHER_FAST_SRC_BYTES``
-    with FREE slices (no transposes anywhere — the point of this path)."""
+    with FREE slices (no transposes anywhere — the point of this path).
+
+    STRIDE PAD (round 5, keep): the prefix tensor's middle axis pads to a
+    sublane (8) multiple before the ``[rows, stride, D] -> [rows*stride,
+    D]`` chunk reshapes.  With the natural odd stride W+1, the chunked
+    gathers EXECUTE INCORRECTLY on TPU at some geometries — "TPU backend
+    error (Internal)" / worker crashes, first hit by the 4K canonical
+    streamed bands ([344, 3841, 256] chunks of 26 rows; W <= 2688 ran,
+    W >= 3072 died, band=8 and unchunked ran) — an XLA:TPU runtime fault
+    isolated in experiments/_r5_pm_isolate.py.  Padding the stride to 8
+    fixed every crash geometry with bit-identical checksums; the padded
+    tail rows are never indexed (hi <= W < stride)."""
     h, w, d = x.shape
     cs = jnp.pad(_mxu_cumsum(x, -2), ((0, 0), (1, 0), (0, 0)))  # [H, W+1, D]
+    stride = -(-(w + 1) // 8) * 8
+    if stride != w + 1:
+        cs = jnp.pad(cs, ((0, 0), (0, stride - (w + 1)), (0, 0)))
     jj = jnp.arange(w)[None, :]
     hi = jnp.clip(jj + right + 1, 0, w)
     lo = jnp.clip(jj - left, 0, w)
-    band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * (w + 1)))
+    band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * stride))
     outs = []
     for r0 in range(0, h, band):
         r1 = min(r0 + band, h)
-        flat = cs[r0:r1].reshape((r1 - r0) * (w + 1), d)
+        flat = cs[r0:r1].reshape((r1 - r0) * stride, d)
         ii = jnp.arange(r1 - r0)[:, None]
         out = (
-            flat[(ii * (w + 1) + hi[r0:r1]).reshape(-1)]
-            - flat[(ii * (w + 1) + lo[r0:r1]).reshape(-1)]
+            flat[(ii * stride + hi[r0:r1]).reshape(-1)]
+            - flat[(ii * stride + lo[r0:r1]).reshape(-1)]
         )
         outs.append(out.reshape(r1 - r0, w, d))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -679,23 +696,29 @@ def _vsum_pm(
     """:func:`_vsum` on a pixel-major volume: span sums along rows.  The
     row-bound picks are row-local (arms are capped at ``max_arm``), so row
     chunks slice a ``max_arm``-haloed window of the prefix tensor — again
-    a FREE leading-axis slice."""
+    a FREE leading-axis slice.  The flat stride pads to a sublane multiple
+    for general (odd-W) inputs — see :func:`_hsum_pm`'s STRIDE PAD note
+    (the measured crash geometries all had even W here, but the reshape
+    pattern is the same)."""
     h, w, d = x.shape
     cs = jnp.pad(_cumsum_axis0(x), ((1, 0), (0, 0), (0, 0)))    # [H+1, W, D]
+    stride = -(-w // 8) * 8
+    if stride != w:
+        cs = jnp.pad(cs, ((0, 0), (0, stride - w), (0, 0)))
     ii = jnp.arange(h)[:, None]
     jj = jnp.arange(w)[None, :]
     hi = jnp.clip(ii + down + 1, 0, h)
     lo = jnp.clip(ii - up, 0, h)
-    band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * w) - (2 * max_arm + 1))
+    band = max(8, _GATHER_FAST_SRC_BYTES // (4 * d * stride) - (2 * max_arm + 1))
     outs = []
     for r0 in range(0, h, band):
         r1 = min(r0 + band, h)
         s0 = max(0, r0 - max_arm)
         s1 = min(h + 1, r1 + max_arm + 1)
-        flat = cs[s0:s1].reshape((s1 - s0) * w, d)
+        flat = cs[s0:s1].reshape((s1 - s0) * stride, d)
         out = (
-            flat[((hi[r0:r1] - s0) * w + jj).reshape(-1)]
-            - flat[((lo[r0:r1] - s0) * w + jj).reshape(-1)]
+            flat[((hi[r0:r1] - s0) * stride + jj).reshape(-1)]
+            - flat[((lo[r0:r1] - s0) * stride + jj).reshape(-1)]
         )
         outs.append(out.reshape(r1 - r0, w, d))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
