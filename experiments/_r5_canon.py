@@ -173,20 +173,22 @@ def final4k():
         disp_range=D4K, aggregation="cross_two_pass",
         scanline=ScanlineConfig(), run_post=True,
     )
-    # round-5 rt scan (compile-only, experiments/_r5_rtscan.py): temp is
-    # NON-monotone in the band — 136: 10.99, 128: 13.37, 112: 13.55,
-    # 96: 13.06, 80: 11.54, 64: 10.28 GiB — and executions at 11.84 and
-    # 13.37 GiB crashed the worker.  rt=64 is the measured safe point.
-    rt = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    # The round-5 "worker crashes above ~10.5 GiB" reading was WRONG — the
+    # crashes were the _hsum_pm odd-stride runtime fault (fixed with the
+    # sublane stride pad); an 11.7 GiB-temp canonical program executes.
+    # Post-fix compile-only scan: rt=432 fails to compile, 320 -> 14.72
+    # GiB (too close to HBM), 224 -> 11.67, 136 -> 11.02.  rt=224 is the
+    # halo-amortization sweet spot (amp 2.25x).
+    rt = int(sys.argv[2]) if len(sys.argv) > 2 else 224
     fn = jax.jit(streamed_pipeline("ad_census", cfg, row_tile=rt))
     t0 = time.time()
     comp = fn.lower(jnp.asarray(Ll), jnp.asarray(Rl)).compile()
     temp = comp.memory_analysis().temp_size_in_bytes / 2**30
     print(f"rt={rt} compiled {time.time()-t0:.0f}s temp={temp:.2f} GiB",
           flush=True)
-    if temp > 10.5:
-        print("over the 10.5 GiB worker-headroom bound; aborting the "
-              "canonical legs (pass an explicit rt to override)", flush=True)
+    if temp > 13.0:
+        print("over the 13 GiB bound (320 compiled to 14.7 and was never "
+              "risked); aborting the canonical legs", flush=True)
         return
     for label, L, R, gt in pairs:
         t0 = time.time()

@@ -126,24 +126,24 @@ def auto_row_tile(name: str, cfg, h: int, w: int, memory_bytes=None) -> int:
     halo = receptive_field_rows(name, cfg)
     canonical = name == "ad_census" and getattr(cfg, "aggregation", "") == "cross_two_pass"
     has_scanline = name == "ad_census" and getattr(cfg, "scanline", None) is not None
-    # Round-5 recalibration (canonical branch): the round-4 linear model
-    # is wrong in SHAPE at 4K/D=256 — compiled temp is halo-dominated and
-    # NON-monotone in the band (measured: rt=136 -> 10.99 GiB, 128 ->
-    # 13.37, 112 -> 13.55, 96 -> 13.06, 80 -> 11.54, 64 -> 10.28), and
-    # executions at 11.84/13.37 GiB crashed the TPU worker.  Model:
-    # temp ~ K * (t + 2*halo) band volumes with K up to ~9 depending on
-    # scheduling; budget 0.65 of memory with K=9 reproduces the measured
-    # safe point (t=64 at 16 GiB).  Because temp is not monotone, a
-    # serving deployment at new geometry should verify with a compile-
-    # only probe (`experiments/_r5_rtscan.py` pattern: lower().compile()
-    # .memory_analysis() BEFORE any execution) rather than trust any
-    # model.
-    frac = 0.65 if (has_scanline and canonical) else 0.70
+    # Round-5 recalibration (canonical branch), post stride-pad fix (the
+    # mid-round "worker crashes above ~10.5 GiB" reading was the _hsum_pm
+    # runtime fault, not OOM): compiled temp at 4K/D=256 is ~9.5
+    # halo-volumes of fixed part plus a shallow band slope below rt~224
+    # and a steep one above (measured: rt=136 -> 11.02 GiB, 224 -> 11.67,
+    # 320 -> 14.72, 432 -> compile failure); an 11.7 GiB program executes
+    # fine.  Model: budget 0.80 of memory, t = (rows_budget - 9*(2*halo))
+    # / 4 — lands rt=240 at 16 GiB (between the verified 224 and the
+    # never-risked 320).  Temp remains scheduling-sensitive: a serving
+    # deployment at new geometry should verify with a compile-only probe
+    # (`experiments/_r5_rtscan.py`: lower().compile().memory_analysis()
+    # BEFORE any execution) rather than trust any model.
+    frac = 0.80 if (has_scanline and canonical) else 0.70
     budget = frac * (memory_bytes if memory_bytes else _device_memory_bytes())
     row_bytes = d * w * 4.0
     rows_budget = budget / row_bytes          # total live rows affordable
     if has_scanline and canonical:
-        t = rows_budget / 9.0 - 2 * halo
+        t = (rows_budget - 9 * 2 * halo) / 4.0
     elif has_scanline:
         t = (rows_budget - 6 * 2 * halo) / 6.0
     else:
