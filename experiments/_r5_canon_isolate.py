@@ -40,10 +40,16 @@ def main(mode):
     if mode in ("post", "postnoscan"):
         kw["run_post"] = True
     cfg = ADCensusConfig(**kw)
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 255, (ROWS, COLS + 40)).astype(np.uint8)
-    L = jnp.asarray(base[:, 40:])
-    R = jnp.asarray(base[:, :-40])
+    if os.environ.get("ISOLATE_PAIR"):
+        from stereo_match_traditional_tpu.utils.synthetic import make_pair
+
+        Lp, Rp, _ = make_pair(ROWS, COLS, D, seed=0)
+        L, R = jnp.asarray(Lp), jnp.asarray(Rp)
+    else:
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (ROWS, COLS + 40)).astype(np.uint8)
+        L = jnp.asarray(base[:, 40:])
+        R = jnp.asarray(base[:, :-40])
     fn = jax.jit(streamed_pipeline("ad_census", cfg, row_tile=RT))
     t0 = time.time()
     comp = fn.lower(L, R).compile()

@@ -168,6 +168,16 @@ def streamed_pipeline(name: str, cfg, row_tile=None):
     instead of the full ``D x H x W`` volume.  ``row_tile=None`` picks the
     band height from the live-buffer model (:func:`auto_row_tile`) at
     trace time.
+
+    KNOWN TOOLCHAIN LIMIT (round 5): the fused canonical FULL program
+    (cross_two_pass + tso scanline + canonical post in ONE jit) trips an
+    XLA:TPU runtime fault at 4K/D=256 for every band size and input
+    tried, while every two-stage subset of the same pipeline runs.  At
+    that scale run the canonical chain STAGED — this executor without
+    ``run_post`` for cross+scanline+WTA, then
+    `models.ad_census.ad_census_post_canonical` as a second jit on the
+    maps (the checkpoint re-entry surface); bit-identical math, measured
+    in BASELINE.md round 5 (`experiments/_r5_canon_staged.py`).
     """
     _check_tiled_support(name, cfg)
     canonical = name == "ad_census" and cfg.aggregation == "cross_two_pass"
