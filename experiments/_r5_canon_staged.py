@@ -44,7 +44,9 @@ def main():
     )
     fn_a = jax.jit(streamed_pipeline("ad_census", cfg_scan, row_tile=rt))
 
-    d_chunk = irv_auto_d_chunk(ROWS, COLS, D)
+    # exact D/2: d_chunk=129 (the naive budget division) compiles two
+    # 9.4 GB blocked-cumsum temporaries and OOMs; 128 compiled and ran
+    d_chunk = 128
 
     def post_fn(dl, dr, left):
         arms = aggregate.canonical_cross_arms(left, cfg.cross_params)

@@ -37,7 +37,7 @@ def main():
     res = jax.jit(streamed_pipeline("ad_census", cfg_scan, row_tile=224))(Lj, Rj)
     dl, dr = res.disp_left, res.disp_right
     ref = None
-    for d_chunk in (8, 16, 32, 64):
+    for d_chunk in (128, 64):
         def post_fn(a, b, left, dc=d_chunk):
             arms = aggregate.canonical_cross_arms(left, cfg.cross_params)
             fin, _, _ = ad_census_post_canonical(

@@ -137,16 +137,31 @@ def ad_census_pipeline(
     return result
 
 
-def irv_auto_d_chunk(h: int, w: int, disp_range: int):
+def irv_auto_d_chunk(h: int, w: int, disp_range: int,
+                     budget_bytes: float = 256e6):
     """``d_chunk`` for :func:`post.iterative_region_voting` at an [h, w]
     map: ``None`` (monolithic [D, H, W] histogram) while that fits in
-    512 MB, else enough disparity slices for ~256 MB of one-hots.
-    Chunking is bitwise-exact (see iterative_region_voting), so this is a
-    pure memory/scheduling choice — at 4K/D=256 the monolithic histogram
-    is 8.5 GB and cannot run on one chip."""
-    if disp_range * h * w * 4 <= 512e6:
+    2x ``budget_bytes``, else enough disparity slices for ~``budget_bytes``
+    of one-hots.  Chunking is bitwise-exact (see iterative_region_voting),
+    so this is a pure memory/scheduling choice — at 4K/D=256 the
+    monolithic histogram is 8.5 GB and cannot run on one chip.
+
+    The 256 MB default is sized for the FUSED pipeline, where the
+    histogram shares the chip with band volumes.  When the post runs as
+    its own program (the staged 4K canonical pattern,
+    `experiments/_r5_canon_staged.py`) bigger budgets pay off directly —
+    fewer prefix-sum sweeps per iteration, same bits (round-5 sweep at
+    4K/D=256, identical checksums): d_chunk 8 -> 66.4 s, 16 -> 49.5,
+    32 -> 36.0, 64 -> 14.6, 128 -> 7.4.  Pass ``budget_bytes=4.3e9``
+    there (two chunks at D=256).
+
+    The chunk rounds DOWN to a power of two: ragged chunk counts
+    interact badly with the blocked cumsum's padding (d_chunk=129 at 4K
+    compiled two 9.4 GB pad temporaries and OOM'd where 128 ran)."""
+    if disp_range * h * w * 4 <= 2 * budget_bytes:
         return None
-    return max(8, int(256e6 / (h * w * 4)))
+    raw = max(8, int(budget_bytes / (h * w * 4)))
+    return 1 << (raw.bit_length() - 1)
 
 
 def ad_census_post_canonical(disp_l, disp_r, agg_l, arms_l, cfg: ADCensusConfig,
