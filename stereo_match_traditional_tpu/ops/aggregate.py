@@ -214,9 +214,13 @@ def canonical_cross_arms(
 # Above this length the dense [n, n] triangle's O(n^2) MACs dominate
 # (n=3841 is 23k flops/element at precision HIGHEST); switch to a two-level
 # block decomposition: dense triangles inside blocks + a cumsum of block
-# sums broadcast back.  At Teddy/720p widths the dense triangle stays.
+# sums broadcast back.  At Teddy/720p widths the dense triangle stays
+# (round-5 sweep: forcing blocked at 720p is -2.7% at best and churns
+# summation order — not adopted).  Block 256 in the n>2048 regime is a
+# measured -8.7% on the 4K canonical cross leg (warm 25.3 -> 23.1 s,
+# round 5); last-ulp summation-order change at 4K-class widths only.
 _CUMSUM_DENSE_MAX = 2048
-_CUMSUM_BLOCK = 512
+_CUMSUM_BLOCK = 256
 
 
 def _mxu_cumsum(x: jax.Array, axis: int) -> jax.Array:
