@@ -157,10 +157,16 @@ def irv_auto_d_chunk(h: int, w: int, disp_range: int,
 
     The chunk rounds DOWN to a power of two: ragged chunk counts
     interact badly with the blocked cumsum's padding (d_chunk=129 at 4K
-    compiled two 9.4 GB pad temporaries and OOM'd where 128 ran)."""
-    if disp_range * h * w * 4 <= 2 * budget_bytes:
+    compiled two 9.4 GB pad temporaries and OOM'd where 128 ran).  The
+    MONOLITHIC cutover stays at the fixed 512 MB regardless of budget —
+    a larger budget must grow the chunks, never select the monolithic
+    [D, H, W] histogram (at 4K a 4.3 GB budget once crossed the 8.5 GB
+    monolithic threshold and the program compiled 23.5 GB of full-image
+    pm volumes); chunks also cap at half the disparity range so chunking
+    stays a strict memory reduction."""
+    if disp_range * h * w * 4 <= 512e6:
         return None
-    raw = max(8, int(budget_bytes / (h * w * 4)))
+    raw = max(8, min(int(budget_bytes / (h * w * 4)), disp_range // 2))
     return 1 << (raw.bit_length() - 1)
 
 

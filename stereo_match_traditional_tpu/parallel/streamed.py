@@ -132,13 +132,15 @@ def auto_row_tile(name: str, cfg, h: int, w: int, memory_bytes=None) -> int:
     # halo-volumes of fixed part plus a shallow band slope below rt~224
     # and a steep one above (measured: rt=136 -> 11.02 GiB, 224 -> 11.67,
     # 320 -> 14.72, 432 -> compile failure); an 11.7 GiB program executes
-    # fine.  Model: budget 0.80 of memory, t = (rows_budget - 9*(2*halo))
-    # / 4 — lands rt=240 at 16 GiB (between the verified 224 and the
-    # never-risked 320).  Temp remains scheduling-sensitive: a serving
-    # deployment at new geometry should verify with a compile-only probe
-    # (`experiments/_r5_rtscan.py`: lower().compile().memory_analysis()
-    # BEFORE any execution) rather than trust any model.
-    frac = 0.80 if (has_scanline and canonical) else 0.70
+    # fine.  Model: t = (rows_budget - 9*(2*halo)) / 4 with budget 0.77 of
+    # memory — lands rt=208 at 4K/16 GiB, just under the rt=224 point
+    # verified for BOTH canonical program shapes (scan-leg 11.67 GiB,
+    # fused-FULL-with-d_chunk-128 13.13 GiB).  Temp remains scheduling-
+    # sensitive: a serving deployment at new geometry should verify with
+    # a compile-only probe (`experiments/_r5_rtscan.py`:
+    # lower().compile().memory_analysis() BEFORE any execution) rather
+    # than trust any model.
+    frac = 0.77 if (has_scanline and canonical) else 0.70
     budget = frac * (memory_bytes if memory_bytes else _device_memory_bytes())
     row_bytes = d * w * 4.0
     rows_budget = budget / row_bytes          # total live rows affordable
@@ -169,15 +171,18 @@ def streamed_pipeline(name: str, cfg, row_tile=None):
     band height from the live-buffer model (:func:`auto_row_tile`) at
     trace time.
 
-    KNOWN TOOLCHAIN LIMIT (round 5): the fused canonical FULL program
-    (cross_two_pass + tso scanline + canonical post in ONE jit) trips an
-    XLA:TPU runtime fault at 4K/D=256 for every band size and input
-    tried, while every two-stage subset of the same pipeline runs.  At
-    that scale run the canonical chain STAGED — this executor without
+    TOOLCHAIN NOTE (round 5): the fused canonical FULL program
+    (cross_two_pass + tso scanline + canonical post in ONE jit) tripped
+    an XLA:TPU runtime fault at 4K/D=256 when the IRV post ran with
+    tiny d-chunks (the conservative 256 MB histogram budget); with the
+    memory-aware budget now wired in (`_canonical_post_streamed`,
+    d_chunk=128 at 4K on 16 GiB) the fused program runs — but at ~1.8x
+    the cost of the STAGED form (105 vs 58 s warm: this executor without
     ``run_post`` for cross+scanline+WTA, then
     `models.ad_census.ad_census_post_canonical` as a second jit on the
-    maps (the checkpoint re-entry surface); bit-identical math, measured
-    in BASELINE.md round 5 (`experiments/_r5_canon_staged.py`).
+    maps — the checkpoint re-entry surface, bit-identical math).  Prefer
+    staged at memory-bound scales; BASELINE.md round 5 has the numbers
+    (`experiments/_r5_canon_staged.py`).
     """
     _check_tiled_support(name, cfg)
     canonical = name == "ad_census" and cfg.aggregation == "cross_two_pass"
@@ -254,9 +259,17 @@ def _canonical_post_streamed(disp_l, disp_r, left, right, cfg, row_tile):
     # Bound the IRV histogram (exact chunking, see
     # post.iterative_region_voting) — the full [D, H, W] histogram is
     # 8.5 GB at 4K/D=256 and was the one full-image volume left in the
-    # streamed canonical path.
+    # streamed canonical path.  The budget is memory-aware (round 5): a
+    # quarter of device memory -> d_chunk=128 at 4K on a 16 GiB part.
+    # This is not only a perf choice — the conservative 256 MB budget's
+    # d_chunk=8 (32 chunks x 5 iters of sweeps) pushed the FUSED 4K
+    # canonical program into the XLA:TPU runtime fault; with d_chunk=128
+    # the fused program compiles to 13.1 GiB temp and RUNS (warm 105 s;
+    # the staged two-program form remains ~1.8x faster at 58 s — see
+    # streamed_pipeline's docstring).
     h, w = disp_l.shape
-    dc = irv_auto_d_chunk(h, w, cfg.disp_range)
+    dc = irv_auto_d_chunk(h, w, cfg.disp_range,
+                          budget_bytes=0.25 * _device_memory_bytes())
     if not cp.do_discontinuity_adjustment:
         return ad_census_post_canonical(disp_l, disp_r, None, arms_l, cfg,
                                         irv_d_chunk=dc)

@@ -136,3 +136,28 @@ def test_asw_approx_grid_on_hardware():
     dl = np.asarray(res.disp_left)
     assert np.isfinite(dl).all() and dl.min() >= 0 and dl.max() <= 60
     assert bad_pixel_rate(dl, gt) <= 0.15
+
+
+def test_pm_span_sums_wide_geometry_on_hardware():
+    """Regression guard for the round-5 XLA:TPU runtime fault: chunked
+    pixel-major span-sum gathers with an odd flat stride executed
+    incorrectly (worker crashes / "TPU backend error") at W >= 3072 —
+    fixed by the sublane stride pad (`aggregate._hsum_pm`).  Runs the pm
+    h-span sum at a crash geometry and cross-checks the row sums against
+    a direct computation on a sample row.  ~400 MB of arrays; hardware
+    suite only."""
+    from stereo_match_traditional_tpu.ops import aggregate
+
+    rng = np.random.default_rng(0)
+    h, w, d = 96, 3456, 256          # W in the measured crash range
+    x = jnp.asarray(rng.standard_normal((h, w, d)).astype(np.float32))
+    arm = jnp.asarray(rng.integers(0, 34, (h, w), dtype=np.int32))
+    out = np.asarray(jax.jit(aggregate._hsum_pm)(x, arm, arm))
+    xs = np.asarray(x)
+    arms = np.asarray(arm)
+    i = 7
+    for j in (0, 1234, w - 1):
+        lo = max(0, j - arms[i, j])
+        hi = min(w - 1, j + arms[i, j])
+        want = xs[i, lo:hi + 1].sum(axis=0)
+        np.testing.assert_allclose(out[i, j], want, rtol=1e-4, atol=1e-4)
