@@ -16,6 +16,7 @@ from stereo_match_traditional_tpu.parallel.tiled import (  # noqa: F401
 from stereo_match_traditional_tpu.parallel.streamed import (  # noqa: F401
     auto_row_tile,
     run_streamed,
+    streamed_canonical_staged,
     streamed_pipeline,
 )
 from stereo_match_traditional_tpu.parallel.wta_shard import (  # noqa: F401

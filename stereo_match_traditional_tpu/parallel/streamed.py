@@ -240,6 +240,46 @@ def streamed_pipeline(name: str, cfg, row_tile=None):
     return run
 
 
+def streamed_canonical_staged(cfg, row_tile=None):
+    """Two-program canonical executor — the round-5 serving path at
+    memory-bound scales.
+
+    Program A = the streamed cross_two_pass + tso scanline + dual WTA
+    (``streamed_pipeline`` with the post disabled); program B = the
+    canonical post on the produced maps (:func:`_canonical_post_streamed`:
+    rounded LR check, memory-aware d-chunked iterative region voting,
+    optional discontinuity-adjustment band sweep, truncate median).
+    Identical math to ``streamed_pipeline(cfg)`` with ``run_post=True`` —
+    the split only moves a program boundary (the checkpoint re-entry
+    surface) — and measured ~1.8x faster than the fused form at
+    4K/D=256 (58 vs ~105 s warm, BASELINE.md round 5) because each
+    program schedules alone.  Returns a PYTHON callable dispatching two
+    jitted programs; it is not itself jittable.
+    """
+    import dataclasses
+
+    if getattr(cfg, "aggregation", "") != "cross_two_pass" or cfg.scanline is None:
+        raise ValueError(
+            "streamed_canonical_staged is the canonical (cross_two_pass + "
+            "scanline) executor; use streamed_pipeline for other configs"
+        )
+    fn_a = jax.jit(streamed_pipeline(
+        "ad_census", dataclasses.replace(cfg, run_post=False), row_tile))
+
+    @jax.jit
+    def fn_b(dl, dr, left, right):
+        t = row_tile or auto_row_tile(
+            "ad_census", cfg, left.shape[0], left.shape[1])
+        return _canonical_post_streamed(dl, dr, left, right, cfg, t)
+
+    def run(left, right):
+        res = fn_a(left, right)
+        fin, occl, mism = fn_b(res.disp_left, res.disp_right, left, right)
+        return StereoResult(res.disp_left, res.disp_right, fin, occl, mism)
+
+    return run
+
+
 def _canonical_post_streamed(disp_l, disp_r, left, right, cfg, row_tile):
     """Canonical (ADCensusOption) post on the gathered maps, as
     `parallel.tiled` runs it: LR check at ``lrcheck_thres`` -> iterative

@@ -209,6 +209,37 @@ def test_streamed_canonical_matches_untiled(da):
         assert frac <= 5e-3, (field, frac)
 
 
+def test_streamed_canonical_staged_matches_fused():
+    """`streamed_canonical_staged` (the two-program serving form) equals
+    the fused streamed executor bitwise on every output — the split only
+    moves a program boundary."""
+    from stereo_match_traditional_tpu.parallel.streamed import (
+        streamed_canonical_staged, streamed_pipeline,
+    )
+
+    cfg = cfgs.ADCensusConfig(
+        disp_range=8, aggregation="cross_two_pass",
+        scanline=cfgs.ScanlineConfig(), run_post=True,
+        cross_params=cfgs.CrossAggregatorParams(
+            cross_l1=5, cross_l2=3, num_iters=2,
+        ),
+    )
+    L, R, _ = make_pair(37, 48, 8, seed=3)
+    Lj, Rj = jnp.asarray(L), jnp.asarray(R)
+    fused = streamed_pipeline("ad_census", cfg, row_tile=16)(Lj, Rj)
+    staged = streamed_canonical_staged(cfg, row_tile=16)(Lj, Rj)
+    for field in ("disp_left", "disp_right", "disp_final", "occlusion",
+                  "mismatch"):
+        f, s = getattr(fused, field), getattr(staged, field)
+        assert (f is None) == (s is None), field
+        if f is not None:
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(s), err_msg=field)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        streamed_canonical_staged(cfgs.ADCensusConfig(disp_range=8))
+
+
 @pytest.mark.slow
 def test_streamed_canonical_no_scanline_post():
     """Canonical aggregation without scanline still routes the canonical
